@@ -1,0 +1,50 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes (SURVEY.md §4: multi-chip
+sharding is validated via host-platform device emulation).
+"""
+import os
+
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+# The axon sitecustomize force-registers the TPU plugin and sets
+# jax_platforms='axon,cpu'; override via config (env vars are ignored).
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA = '/root/reference/data'
+
+
+@pytest.fixture(scope='session')
+def spot_obj_path():
+    return os.path.join(REFERENCE_DATA, 'obj/spot/spot_triangulated.obj')
+
+
+@pytest.fixture(scope='session')
+def sphere_obj_path():
+    return os.path.join(REFERENCE_DATA, 'obj/sphere/sphere_642.obj')
+
+
+@pytest.fixture(scope='session')
+def rng():
+    return np.random.RandomState(0)
+
+
+def make_random_mesh(rng, num_faces=24, scale=0.7, z_offset=2.5):
+    """Small random triangle soup in front of the camera (camera space).
+
+    Faces live near z = z_offset with xy in roughly [-scale, scale], so
+    they are visible to the rasterizer's NDC [-1, 1] pixel grid.
+    """
+    centers = rng.uniform(-scale, scale, size=(num_faces, 1, 2))
+    offs = rng.uniform(-0.35, 0.35, size=(num_faces, 3, 2))
+    xy = centers + offs
+    z = z_offset + rng.uniform(-0.4, 0.4, size=(num_faces, 3, 1))
+    fv = np.concatenate([xy, z], axis=-1).astype(np.float32)
+    return fv[None]  # [1, F, 3, 3]
