@@ -1,0 +1,186 @@
+"""Deterministic face->screen-tile binning (pure XLA).
+
+TPU-native replacement for the reference's coarse-to-fine CUDA binning
+(jrender/renderer/dr/softras/cuda/soft_rasterize_coarse_to_fine.py:32-273):
+instead of a shared-memory bitmask + atomic compaction, we build per-tile
+face lists with a cumsum + scatter — deterministic, jit-friendly, and the
+list construction is a tiny fraction of rasterization time.
+
+A face lands in every tile whose pixel-center range intersects its
+screen bbox inflated by sqrt(threshold) (same predicate as the kernel's
+check_border, soft_rasterize.py:29-34, so binning never changes results).
+Overflowing faces beyond ``cap`` are dropped per tile (reference behavior:
+c2f overflow warning :249-258); ``counts`` reports the true demand.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TileLists(NamedTuple):
+    ids: jnp.ndarray      # [B, TY*TX, cap] int32 face indices, -1 padded
+    counts: jnp.ndarray   # [B, TY*TX] int32 true faces-per-tile (pre-cap)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def build_tile_lists(face: jnp.ndarray, image_size: int, tile_h: int, tile_w: int,
+                     cap: int, threshold: float) -> TileLists:
+    """face: [B, F, 9] screen-space face vertices."""
+    B, F, _ = face.shape
+    is_ = image_size
+    TY = is_ // tile_h
+    TX = is_ // tile_w
+    n_tiles = TY * TX
+    thr = jnp.sqrt(jnp.float32(threshold))
+
+    xs = face[..., 0::3]
+    ys = face[..., 1::3]
+    xmin = jnp.min(xs, -1) - thr
+    xmax = jnp.max(xs, -1) + thr
+    ymin = jnp.min(ys, -1) - thr
+    ymax = jnp.max(ys, -1) + thr
+
+    # pixel-center coords: xp_c = (2c+1-is)/is  (increasing in column c)
+    #                      yp_r = (is-1-2r)/is  (decreasing in row r)
+    # first/last column whose center is inside [xmin, xmax]:
+    c_min = jnp.ceil((xmin * is_ + is_ - 1) / 2).astype(jnp.int32)
+    c_max = jnp.floor((xmax * is_ + is_ - 1) / 2).astype(jnp.int32)
+    r_min = jnp.ceil((is_ - 1 - ymax * is_) / 2).astype(jnp.int32)
+    r_max = jnp.floor((is_ - 1 - ymin * is_) / 2).astype(jnp.int32)
+
+    empty = (c_min > c_max) | (r_min > r_max) | (c_max < 0) | (c_min > is_ - 1) \
+        | (r_max < 0) | (r_min > is_ - 1)
+
+    tx_min = jnp.clip(c_min // tile_w, 0, TX - 1)
+    tx_max = jnp.clip(c_max // tile_w, 0, TX - 1)
+    ty_min = jnp.clip(r_min // tile_h, 0, TY - 1)
+    ty_max = jnp.clip(r_max // tile_h, 0, TY - 1)
+
+    if F <= 8192 or n_tiles <= 64:
+        # exact path: the [F, n_tiles] overlap mask is small enough; every
+        # face lands in every overlapped tile regardless of bbox size.
+        tys = jnp.arange(TY, dtype=jnp.int32)
+        txs = jnp.arange(TX, dtype=jnp.int32)
+        oy = (tys[None, None, :] >= ty_min[..., None]) & (tys[None, None, :] <= ty_max[..., None])
+        ox = (txs[None, None, :] >= tx_min[..., None]) & (txs[None, None, :] <= tx_max[..., None])
+        mask = (oy[..., :, None] & ox[..., None, :]) & (~empty)[..., None, None]
+        mask = mask.reshape(B, F, n_tiles)
+        cum = jnp.cumsum(mask.astype(jnp.int32), axis=1)          # [B,F,T]
+        counts = cum[:, -1, :]
+
+        def lists_one(cum_b):
+            targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+
+            def per_tile(cum_t):
+                return jnp.searchsorted(cum_t, targets, side='left').astype(jnp.int32)
+
+            idx = jax.vmap(per_tile, in_axes=1)(cum_b)            # [T, cap]
+            return jnp.where(targets[None, :] <= cum_b[-1][:, None], idx, -1)
+
+        ids = jax.vmap(lists_one)(cum)
+        return TileLists(ids=ids, counts=counts)
+
+    # Scatter-light compaction via bounded pair enumeration + sort:
+    # each face emits at most MT (tile) candidates from its bbox range
+    # (tiny faces span 1-4 tiles; MT=64 covers an 8x8-tile bbox; large
+    # meshes are made of small faces, which is when this path is chosen).
+    MT = 64
+    nty = ty_max - ty_min + 1
+    ntx = tx_max - tx_min + 1
+    ntl = nty * ntx                                               # [B,F]
+
+    j = jnp.arange(MT, dtype=jnp.int32)                           # [MT]
+    dy = j[None, None, :] // jnp.maximum(ntx, 1)[..., None]
+    dx = j[None, None, :] % jnp.maximum(ntx, 1)[..., None]
+    pair_tile = (ty_min[..., None] + dy) * TX + (tx_min[..., None] + dx)
+    pair_ok = (j[None, None, :] < jnp.minimum(ntl, MT)[..., None]) & (~empty)[..., None]
+    pair_tile = jnp.where(pair_ok, pair_tile, n_tiles)            # sort-to-end key
+    pair_face = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :, None],
+                                 pair_tile.shape)
+
+    def one(tiles_b, faces_b):
+        tiles_f = tiles_b.reshape(-1)
+        faces_f = faces_b.reshape(-1)
+        # stable sort by tile keeps faces ascending within each tile
+        tiles_s, faces_s = jax.lax.sort((tiles_f, faces_f), num_keys=1,
+                                        is_stable=True)
+        starts = jnp.searchsorted(tiles_s, jnp.arange(n_tiles, dtype=jnp.int32),
+                                  side='left').astype(jnp.int32)
+        ends = jnp.searchsorted(tiles_s, jnp.arange(1, n_tiles + 1, dtype=jnp.int32),
+                                side='left').astype(jnp.int32)
+        counts_b = ends - starts
+        rank = jnp.arange(tiles_s.shape[0], dtype=jnp.int32)
+        pos = rank - starts[jnp.minimum(tiles_s, n_tiles - 1)]
+        dest = jnp.where((tiles_s < n_tiles) & (pos < cap),
+                         tiles_s * cap + pos, n_tiles * cap)
+        ids_b = jnp.full((n_tiles * cap,), -1, jnp.int32)
+        ids_b = ids_b.at[dest].set(faces_s, mode='drop')
+        return ids_b.reshape(n_tiles, cap), counts_b
+
+    ids, counts = jax.vmap(one)(pair_tile, pair_face)
+    return TileLists(ids=ids, counts=counts)
+
+
+class WorkList(NamedTuple):
+    """Compacted (tile, face-chunk) work items for the fine kernel.
+
+    Every tile contributes ceil(max(count,1)/FB) consecutive items, so the
+    kernel's per-tile accumulators see all chunks of one tile back-to-back.
+    Padding items (beyond `num_items`) carry first=last=0 and tile 0.
+    """
+    tile: jnp.ndarray     # [W] int32 flat tile index (b*NT + t)
+    chunk: jnp.ndarray    # [W] int32 chunk index within the tile's list
+    first: jnp.ndarray    # [W] int32 1 = first chunk of its tile
+    last: jnp.ndarray     # [W] int32 1 = last chunk of its tile
+    num_items: jnp.ndarray  # [] int32 true number of items
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def build_work_list(counts: jnp.ndarray, cap: int, fb: int, w_cap: int) -> WorkList:
+    """counts: [B, NT] true faces per tile (pre-cap).  Returns WorkList with
+    static size w_cap (overflow beyond w_cap drops whole chunks — size
+    w_cap generously; every tile emits >= 1 item)."""
+    B, NT = counts.shape
+    c = jnp.minimum(counts.reshape(-1), cap)                     # [B*NT]
+    nc = jnp.maximum((c + fb - 1) // fb, 1)                      # chunks per tile
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(nc)[:-1].astype(jnp.int32)])
+    total = offs[-1] + nc[-1]
+
+    max_chunks = cap // fb
+    tile_ids = jnp.arange(B * NT, dtype=jnp.int32)
+    # scatter each tile's chunk range into the flat work arrays
+    chunk_iota = jnp.arange(max_chunks, dtype=jnp.int32)[None, :]          # [1,C]
+    valid = chunk_iota < nc[:, None]                                       # [BT,C]
+    dest = jnp.where(valid, offs[:, None] + chunk_iota, w_cap)             # OOB drop
+    flat_dest = dest.reshape(-1)
+    tile_src = jnp.broadcast_to(tile_ids[:, None], dest.shape).reshape(-1)
+    chunk_src = jnp.broadcast_to(chunk_iota, dest.shape).reshape(-1)
+    first_src = (chunk_src == 0).astype(jnp.int32)
+    last_src = (chunk_src == jnp.broadcast_to((nc - 1)[:, None], dest.shape).reshape(-1))
+
+    tile = jnp.zeros((w_cap,), jnp.int32).at[flat_dest].set(tile_src, mode='drop')
+    chunk = jnp.zeros((w_cap,), jnp.int32).at[flat_dest].set(chunk_src, mode='drop')
+    first = jnp.zeros((w_cap,), jnp.int32).at[flat_dest].set(first_src, mode='drop')
+    last = jnp.zeros((w_cap,), jnp.int32).at[flat_dest].set(
+        last_src.astype(jnp.int32), mode='drop')
+    return WorkList(tile=tile, chunk=chunk, first=first, last=last,
+                    num_items=total.astype(jnp.int32))
+
+
+def gather_tile_data(arrs, ids, sentinel_face_index=None):
+    """Gather per-face arrays [B,F,C] into per-tile lists [B,T,cap,C].
+
+    Padded slots (-1) gather face 0; callers mask by id >= 0 or rely on
+    sentinel face coordinates.
+    """
+    safe = jnp.maximum(ids, 0)
+
+    def g(a):
+        return jax.vmap(lambda ab, ib: ab[ib])(a, safe)
+
+    return [g(a) for a in arrs]

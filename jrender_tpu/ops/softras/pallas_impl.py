@@ -1,0 +1,747 @@
+"""SoftRas Pallas TPU kernels (the hot path).
+
+Design (SURVEY.md §7 mapping of the reference CUDA kernels):
+  * XLA pre-pass: face preprocess (face_inv/sym/obt, frontside) as fused
+    vectorized ops + deterministic face->tile binning (binning.py) that
+    replaces the reference's shared-memory-bitmask coarse stage
+    (soft_rasterize_coarse_to_fine.py:32-273).
+  * Forward fine kernel: grid (B, TY, TX, face-chunks); each pixel tile
+    [th, tw] lives in VMEM scratch accumulators while face chunks stream
+    through; depth aggregation is the same associative online softmax the
+    reference uses (soft_rasterize.py:399-419) so chunking is exact.
+  * Backward fine kernel: same pairing, gradients reduced over the pixel
+    tile per (tile, face-slot) and segment-summed in XLA — deterministic
+    replacement for atomicAdd (soft_rasterize.py:1349-1358).  The Pallas
+    backward is the *untruncated* gradient (the reference's legacy
+    backward_soft_rasterize_naive:523 semantics) — no top-K cutoff.
+
+All pairwise math operates on [FB, th, tw] component arrays (tw=128
+lanes); texture colors are accumulated with a masked sweep over the
+R^2 texel grid.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import geometry as G
+from .binning import build_tile_lists, build_work_list, gather_tile_data
+from .params import SoftRasParams
+
+BIG_DEPTH = 10000000.0
+SENTINEL = 1e9  # padded faces get this coordinate -> border check kills them
+
+# default tiling (tuned for v5e VMEM; th*tw pixels per tile, FB faces/chunk)
+TILE_H = 16
+TILE_W = 128
+FACE_BLOCK = 32
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ('tpu', 'axon')
+    except Exception:
+        return False
+
+
+def _safe_div(a, b, eps=1e-30):
+    b_safe = jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+    return a / b_safe
+
+
+def _sel3(sel, a0, a1, a2):
+    """Select among 3 arrays by int index array sel (0/1/2)."""
+    return jnp.where(sel == 0, a0, jnp.where(sel == 1, a1, a2))
+
+
+def _euclid_kernel(w, fx, fy, sym9, obt, xp, yp):
+    """Component-wise euclidean_p2f_distance (soft_rasterize.py:57-147).
+
+    Shares the three along-edge projection coordinates t0_k between the
+    inside (unclamped argmin) and outside (clamped, corner-casework)
+    branches; distances use dx = fx[k1] + t0*(fx[k]-fx[k1]) - (w . fx).
+
+    Returns (sign, dis_x, dis_y, t) with t a 3-tuple of offsets (tau - w)."""
+    inside = ((w[0] > 0) & (w[1] > 0) & (w[2] > 0) &
+              (w[0] < 1) & (w[1] < 1) & (w[2] < 1))
+
+    wfx = w[0] * fx[0] + w[1] * fx[1] + w[2] * fx[2]
+    wfy = w[0] * fy[0] + w[1] * fy[1] + w[2] * fy[2]
+
+    # along-edge coordinate for each edge (k, k+1)
+    t0 = []
+    for k in range(3):
+        k1 = (k + 1) % 3
+        a = [sym9[3 * k + j] - sym9[3 * k1 + j] for j in range(3)]
+        num = w[0] * a[0] + w[1] * a[1] + w[2] * a[2] - a[k1]
+        den = a[k] - a[k1]
+        t0.append(_safe_div(num, den))
+
+    # ---- inside: argmin over the 3 unclamped edge projections -------------
+    dxs, dys, ds = [], [], []
+    for k in range(3):
+        k1 = (k + 1) % 3
+        dx = fx[k1] + t0[k] * (fx[k] - fx[k1]) - wfx
+        dy = fy[k1] + t0[k] * (fy[k] - fy[k1]) - wfy
+        dxs.append(dx)
+        dys.append(dy)
+        ds.append(dx * dx + dy * dy)
+    kmin = jnp.where(ds[1] < ds[0],
+                     jnp.where(ds[2] < ds[1], 2, 1),
+                     jnp.where(ds[2] < ds[0], 2, 0))
+
+    # ---- outside: corner-region casework for edge choice ------------------
+    w0n, w1n, w2n = (w[0] <= 0), (w[1] <= 0), (w[2] <= 0)
+
+    def corner_shift(base, other):
+        return ((xp - fx[base]) * (fx[other] - fx[base]) +
+                (yp - fy[base]) * (fy[other] - fy[base])) > 0
+
+    c1 = w1n & w2n
+    c2 = w2n & w0n & ~c1
+    c3 = w0n & w1n & ~c1 & ~c2
+    rest = ~(c1 | c2 | c3)
+    e1 = rest & w0n
+    e2 = rest & ~w0n & w1n
+    e3 = rest & ~w0n & ~w1n & w2n
+
+    v0_sel = jnp.zeros_like(w[0], jnp.int32)
+    v0_sel = jnp.where(c1, jnp.where((obt[0] == 1) & corner_shift(0, 2), 2, 0), v0_sel)
+    v0_sel = jnp.where(c2, jnp.where((obt[1] == 1) & corner_shift(1, 0), 0, 1), v0_sel)
+    v0_sel = jnp.where(c3, jnp.where((obt[2] == 1) & corner_shift(2, 1), 1, 2), v0_sel)
+    v0_sel = jnp.where(e1, 1, v0_sel)
+    v0_sel = jnp.where(e2, 2, v0_sel)
+    v0_sel = jnp.where(e3, 0, v0_sel)
+
+    # ---- unify: one selected edge per pair --------------------------------
+    ksel = jnp.where(inside, kmin, v0_sel)
+    t0s = _sel3(ksel, t0[0], t0[1], t0[2])
+    # clamp order matches the CUDA code: tau0 = clip(t0), tau1 = clip(1 - t0)
+    tau0 = jnp.where(inside, t0s, jnp.clip(t0s, 0.0, 1.0))
+    tau1 = jnp.where(inside, 1.0 - t0s, jnp.clip(1.0 - t0s, 0.0, 1.0))
+
+    fxk = _sel3(ksel, fx[0], fx[1], fx[2])
+    fxk1 = _sel3(ksel, fx[1], fx[2], fx[0])
+    fyk = _sel3(ksel, fy[0], fy[1], fy[2])
+    fyk1 = _sel3(ksel, fy[1], fy[2], fy[0])
+    dis_x = tau0 * fxk + tau1 * fxk1 - wfx
+    dis_y = tau0 * fyk + tau1 * fyk1 - wfy
+
+    # offsets t = tau - w with tau's nonzeros at components ksel, ksel+1
+    t = tuple(jnp.where(ksel == c, tau0,
+                        jnp.where(ksel == (c + 2) % 3, tau1, 0.0)) - w[c]
+              for c in range(3))
+
+    sign = jnp.where(inside, 1.0, -1.0)
+    return sign, dis_x, dis_y, t
+
+
+def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams):
+    """Forward per-pair quantities; face/inv/sym/obt: [FB, C] blocks,
+    xp/yp: [th, tw].  Returns dict of [FB, th, tw] arrays."""
+    def b(v):
+        return v[:, None, None]
+
+    fx = (b(face[:, 0]), b(face[:, 3]), b(face[:, 6]))
+    fy = (b(face[:, 1]), b(face[:, 4]), b(face[:, 7]))
+    fz = (b(face[:, 2]), b(face[:, 5]), b(face[:, 8]))
+    xpb = xp[None, :, :]
+    ypb = yp[None, :, :]
+
+    w = tuple(b(inv[:, 3 * k + 0]) * xpb + b(inv[:, 3 * k + 1]) * ypb + b(inv[:, 3 * k + 2])
+              for k in range(3))
+
+    thr = p.threshold
+    sq = math.sqrt(thr)
+    xmax = jnp.maximum(jnp.maximum(fx[0], fx[1]), fx[2])
+    xmin = jnp.minimum(jnp.minimum(fx[0], fx[1]), fx[2])
+    ymax = jnp.maximum(jnp.maximum(fy[0], fy[1]), fy[2])
+    ymin = jnp.minimum(jnp.minimum(fy[0], fy[1]), fy[2])
+    not_border = ~((xpb > xmax + sq) | (xpb < xmin - sq) |
+                   (ypb > ymax + sq) | (ypb < ymin - sq))
+
+    sign = dis_x = dis_y = None
+    t = None
+    if p.dist_func_id == 0:
+        inside = ((w[0] >= 0) & (w[0] <= 1) & (w[1] >= 0) & (w[1] <= 1) &
+                  (w[2] >= 0) & (w[2] <= 1))
+        sf = inside.astype(jnp.float32)
+        dist_valid = inside
+    elif p.dist_func_id == 1:
+        mn = jnp.minimum(jnp.minimum(w[0], w[1]), w[2])
+        dis = jnp.where(mn > 0, mn * mn, -(mn * mn))
+        dist_valid = ~(-dis >= thr)
+        sf = jax.nn.sigmoid(dis / p.sigma_val)
+        t = w
+    else:
+        sym9 = [b(sym[:, j]) for j in range(9)]
+        obt3 = [b(obt[:, j]) for j in range(3)]
+        sign, dis_x, dis_y, t = _euclid_kernel(w, fx, fy, sym9, obt3, xpb, ypb)
+        dis = dis_x * dis_x + dis_y * dis_y
+        dist_valid = ~((sign < 0) & (dis >= thr))
+        sf = jax.nn.sigmoid(sign * dis / p.sigma_val)
+
+    alpha_valid = not_border & dist_valid
+
+    wc = [jnp.clip(w[k], 0.0, 1.0) for k in range(3)]
+    wsum = jnp.maximum(wc[0] + wc[1] + wc[2], 1e-5)
+    wc = [c / wsum for c in wc]
+    zp = 1.0 / (wc[0] / fz[0] + wc[1] / fz[1] + wc[2] / fz[2])
+    z_valid = (zp >= p.near) & (zp <= p.far)
+    tk_valid = alpha_valid & z_valid
+
+    inside_w = ((w[0] >= 0) & (w[0] <= 1) & (w[1] >= 0) & (w[1] <= 1) &
+                (w[2] >= 0) & (w[2] <= 1))
+
+    return dict(w=w, wc=wc, sf=sf, zp=zp, alpha_valid=alpha_valid,
+                not_border=not_border,
+                tk_valid=tk_valid, inside=inside_w, sign=sign,
+                dis_x=dis_x, dis_y=dis_y, t=t, fz=fz)
+
+
+def _surface_tex_idx(wc, R: int):
+    w_x = jnp.minimum(wc[0] * R, float(R - 1)).astype(jnp.int32)
+    w_y = jnp.minimum(wc[1] * R, float(R - 1)).astype(jnp.int32)
+    low = (wc[0] + wc[1]) * R - w_x.astype(jnp.float32) - w_y.astype(jnp.float32) <= 1
+    return jnp.where(low, w_y * R + w_x, (R - 1 - w_y) * R + (R - 1 - w_x))
+
+
+def _pair_colors(tex, terms, p: SoftRasParams, T: int, perspective=True):
+    """Per-pair rgb colors (3-tuple of [FB,th,tw]).  tex: [FB, T*3]."""
+    wc = terms['wc']
+    if p.texture_type_id == 0:
+        R = int(math.sqrt(T))
+        idx = _surface_tex_idx(wc, R)
+        cols = []
+        for k in range(3):
+            acc = jnp.zeros_like(wc[0])
+            for ti in range(T):
+                sel = (idx == ti).astype(jnp.float32)
+                acc = acc + sel * tex[:, ti * 3 + k][:, None, None]
+            cols.append(acc)
+        return tuple(cols)
+    # vertex colors: tex [FB, 9] per-corner rgb
+    fz = terms['fz']
+    zp = terms['zp']
+    cols = []
+    for k in range(3):
+        if perspective:
+            c = (wc[0] / fz[0] * tex[:, k][:, None, None] +
+                 wc[1] / fz[1] * tex[:, 3 + k][:, None, None] +
+                 wc[2] / fz[2] * tex[:, 6 + k][:, None, None]) * zp
+        else:
+            c = (wc[0] * tex[:, k][:, None, None] +
+                 wc[1] * tex[:, 3 + k][:, None, None] +
+                 wc[2] * tex[:, 6 + k][:, None, None])
+        cols.append(c)
+    return tuple(cols)
+
+
+def _make_fwd_kernel(p: SoftRasParams, T: int, F_total: int, th: int, tw: int):
+    is_ = p.image_size
+    bg = p.background_color
+
+    def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
+               ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref, tex_ref,
+               out_ref, aggrs_ref,
+               acc_num, acc_sum, acc_max, acc_alpha, acc_dmin, acc_did):
+        i = pl.program_id(0)
+        ty = ty_s[i]
+        tx = tx_s[i]
+
+        @pl.when(first_s[i] == 1)
+        def _init():
+            acc_max[:] = jnp.full((th, tw), p.eps, jnp.float32)
+            acc_sum[:] = jnp.ones((th, tw), jnp.float32)
+            for k in range(3):
+                acc_num[k] = jnp.full((th, tw), bg[k], jnp.float32)
+            if p.alpha_func_id == 2:
+                acc_alpha[:] = jnp.ones((th, tw), jnp.float32)
+            else:
+                acc_alpha[:] = jnp.zeros((th, tw), jnp.float32)
+            acc_dmin[:] = jnp.full((th, tw), BIG_DEPTH, jnp.float32)
+            acc_did[:] = jnp.full((th, tw), -1, jnp.int32)
+
+        # skip all pair math on padding items (they carry no real faces)
+        @pl.when(act_s[i] == 1)
+        def _merge():
+            rows = (ty * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)).astype(jnp.float32)
+            cols = (tx * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)).astype(jnp.float32)
+            xp = (2.0 * cols + 1.0 - is_) / is_
+            yp = (is_ - 1.0 - 2.0 * rows) / is_
+
+            face = face_ref[0]
+            inv = inv_ref[0]
+            sym = sym_ref[0]
+            obt = obt_ref[0]
+            front = front_ref[0]                # [FB,1] f32 (1=frontside)
+            tex = tex_ref[0]
+            ids = ids_ref[0]                    # [FB,1] int32
+
+            terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p)
+            sf = terms['sf']
+            zp = terms['zp']
+            alpha_valid = terms['alpha_valid']
+            tk_valid = terms['tk_valid']
+
+            # ---- alpha merge ---------------------------------------------------
+            sf_a = jnp.where(alpha_valid, sf, 0.0)
+            if p.alpha_func_id == 0:
+                acc_alpha[:] = jnp.maximum(
+                    acc_alpha[:], jnp.max((alpha_valid & (sf > 0.5)).astype(jnp.float32), 0))
+            elif p.alpha_func_id == 1:
+                acc_alpha[:] = acc_alpha[:] + jnp.sum(sf_a, axis=0)
+            else:
+                # prod(1-sf) via exp-sum-log1p (Mosaic has no reduce_prod);
+                # sf==1 gives log1p(-1) = -inf -> exp(-inf) = 0, as desired
+                acc_alpha[:] = acc_alpha[:] * jnp.exp(jnp.sum(jnp.log1p(-sf_a), axis=0))
+
+            side_ok = front[:, 0][:, None, None] > 0.5 if not p.fill_back else None
+
+            if p.rgb_func_id == 1:
+                rgb_valid = tk_valid if p.fill_back else (tk_valid & side_ok)
+                zpn = (p.far - zp) / (p.far - p.near)
+                zpn_m = jnp.where(rgb_valid, zpn, -jnp.inf)
+                M_blk = jnp.max(zpn_m, axis=0)
+                M_new = jnp.maximum(acc_max[:], M_blk)
+                rescale = jnp.exp((acc_max[:] - M_new) / p.gamma_val)
+                expz = jnp.where(rgb_valid,
+                                 jnp.exp((zpn - M_new[None]) / p.gamma_val) * sf, 0.0)
+                acc_sum[:] = acc_sum[:] * rescale + jnp.sum(expz, axis=0)
+                colors = _pair_colors(tex, terms, p, T, perspective=True)
+                for k in range(3):
+                    acc_num[k] = acc_num[k] * rescale + jnp.sum(expz * colors[k], axis=0)
+                acc_max[:] = M_new
+            elif p.rgb_func_id == 0:
+                hard_valid = tk_valid & terms['inside'] if p.fill_back else (
+                    tk_valid & terms['inside'] & side_ok)
+                zkey = jnp.where(hard_valid, zp, BIG_DEPTH)
+                blk_min = jnp.min(zkey, axis=0)                       # [th,tw]
+                blk_arg = jnp.argmin(zkey, axis=0)                    # first-min wins
+                onehot = (jax.lax.broadcasted_iota(jnp.int32, zkey.shape, 0) ==
+                          blk_arg[None]).astype(jnp.float32)
+                colors = _pair_colors(tex, terms, p, T, perspective=True)
+                id_sel = jnp.sum(onehot * ids[:, 0][:, None, None].astype(jnp.float32), 0)
+                upd = blk_min < acc_dmin[:]
+                for k in range(3):
+                    c_sel = jnp.sum(onehot * colors[k], axis=0)
+                    acc_num[k] = jnp.where(upd, c_sel, acc_num[k])
+                acc_did[:] = jnp.where(upd, id_sel.astype(jnp.int32), acc_did[:])
+                acc_dmin[:] = jnp.where(upd, blk_min, acc_dmin[:])
+
+        # ---- finalize ------------------------------------------------------
+        @pl.when(last_s[i] == 1)
+        def _fin():
+            if p.alpha_func_id == 0:
+                alpha = acc_alpha[:]
+            elif p.alpha_func_id == 1:
+                alpha = acc_alpha[:] / F_total
+            else:
+                alpha = 1.0 - acc_alpha[:]
+            if p.rgb_func_id == 1:
+                # acc_sum already carries the background term: it was
+                # initialized to 1 = exp((eps - eps)/gamma) and rescaled
+                # with every max update, matching soft_rasterize.py:294.
+                ssum = acc_sum[:]
+                for k in range(3):
+                    out_ref[0, k] = acc_num[k] / ssum
+                aggrs_ref[0, 0] = ssum
+                aggrs_ref[0, 1] = acc_max[:]
+            elif p.rgb_func_id == 0:
+                for k in range(3):
+                    out_ref[0, k] = acc_num[k]
+                aggrs_ref[0, 0] = acc_dmin[:]
+                aggrs_ref[0, 1] = acc_did[:].astype(jnp.float32)
+            else:
+                for k in range(3):
+                    out_ref[0, k] = jnp.full((th, tw), bg[k], jnp.float32)
+                aggrs_ref[0, 0] = jnp.zeros((th, tw), jnp.float32)
+                aggrs_ref[0, 1] = jnp.zeros((th, tw), jnp.float32)
+            out_ref[0, 3] = alpha
+
+    return kernel
+
+
+def _make_bwd_kernel(p: SoftRasParams, T: int, F_total: int, th: int, tw: int):
+    """Backward fine kernel: one grid step = one (tile, face-chunk) work item.
+
+    Emits per-slot gradients [FB, 9 + T*3]; XLA segment-sums them into
+    [B,F,...] afterwards (deterministic atomicAdd replacement).
+    Math mirrors backward_soft_rasterize_cuda_kernel (:1177-1360) without
+    the top-K truncation (legacy naive-backward semantics)."""
+    is_ = p.image_size
+
+    def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
+               ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref, tex_ref,
+               sc_ref, ag_ref, go_ref,
+               gface_ref, gtex_ref):
+        i = pl.program_id(0)
+        ty = ty_s[i]
+        tx = tx_s[i]
+
+        # padding items: their gradient rows are segment-dropped downstream,
+        # so skip all pair math (they are ~2/3 of the static work bound)
+        @pl.when(act_s[i] == 1)
+        def _body():
+            _bwd_body(p, T, F_total, th, tw, i, ty, tx,
+                      ids_ref, face_ref, inv_ref, sym_ref, obt_ref, tex_ref,
+                      sc_ref, ag_ref, go_ref, gface_ref, gtex_ref)
+
+    return kernel
+
+
+def _bwd_body(p, T, F_total, th, tw, i, ty, tx,
+              ids_ref, face_ref, inv_ref, sym_ref, obt_ref, tex_ref,
+              sc_ref, ag_ref, go_ref, gface_ref, gtex_ref):
+        is_ = p.image_size
+        rows = (ty * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)).astype(jnp.float32)
+        cols = (tx * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)).astype(jnp.float32)
+        xp = (2.0 * cols + 1.0 - is_) / is_
+        yp = (is_ - 1.0 - 2.0 * rows) / is_
+
+        face = face_ref[0]
+        inv = inv_ref[0]
+        sym = sym_ref[0]
+        obt = obt_ref[0]
+        tex = tex_ref[0]
+        ids = ids_ref[0]                    # [FB,1] int32
+
+        terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p)
+        sf_fwd = terms['sf']
+        zp = terms['zp']
+        wc = terms['wc']
+        w = terms['w']
+        fz = terms['fz']
+
+        # backward uses sf=1 for hard dist (:1259)
+        sf = jnp.ones_like(sf_fwd) if p.dist_func_id == 0 else sf_fwd
+
+        # pair validity: mirrors the pairs that enter the forward's face-id
+        # buffer (border + dist-threshold + z-range, soft_rasterize.py:316-369)
+        valid = (ids[:, 0] >= 0)[:, None, None] & terms['tk_valid']
+        vf = valid.astype(jnp.float32)
+
+        g_rgb = [go_ref[0, k] for k in range(3)]         # [th,tw]
+        g_alpha = go_ref[0, 3]
+        out_rgb = [sc_ref[0, k] for k in range(3)]
+        out_alpha = sc_ref[0, 3]
+
+        # ---- alpha channel chain (:1281-1291) -----------------------------
+        if p.alpha_func_id == 0:
+            C_grad_xy = jnp.zeros_like(sf)
+        elif p.alpha_func_id == 1:
+            C_grad_xy = jnp.broadcast_to(g_alpha[None] / F_total, sf.shape)
+        else:
+            C_grad_xy = g_alpha[None] * (1.0 - out_alpha[None]) / \
+                jnp.maximum(1.0 - sf, 1e-6)
+
+        gz = [jnp.zeros_like(sf) for _ in range(3)]
+        tex_grads = None
+        if p.rgb_func_id == 1:
+            softmax_sum = ag_ref[0, 0][None]
+            softmax_max = ag_ref[0, 1][None]
+            zpn = (p.far - zp) / (p.far - p.near)
+            # mask INSIDE the exponent: invalid pairs can have zpn >> M
+            # (e.g. near-empty pixels where M == eps) and exp would overflow
+            # to inf before the validity mask could zero it (inf*0 = NaN)
+            e_arg = jnp.where(valid, (zpn - softmax_max) / p.gamma_val, -1e30)
+            zp_softmax = sf * jnp.exp(e_arg) / softmax_sum
+
+            colors = _pair_colors(tex, terms, p, T, perspective=False)
+            C_grad_xyz = (g_rgb[0][None] * (colors[0] - out_rgb[0][None]) +
+                          g_rgb[1][None] * (colors[1] - out_rgb[1][None]) +
+                          g_rgb[2][None] * (colors[2] - out_rgb[2][None])) * zp_softmax
+            C_grad_xy = C_grad_xy + C_grad_xyz / jnp.maximum(sf, 1e-30)
+
+            C_grad_z = C_grad_xyz / p.gamma_val / (p.near - p.far) * zp * zp
+            for k in range(3):
+                gz[k] = C_grad_z * wc[k] / (fz[k] * fz[k])
+
+            tex_coef = zp_softmax                                  # [FB,th,tw]
+        elif p.rgb_func_id == 0:
+            fidx_min = ag_ref[0, 1][None]                          # float ids
+            is_win = vf * (jnp.abs(ids[:, 0][:, None, None].astype(jnp.float32) -
+                                   fidx_min) < 0.5)
+            tex_coef = is_win
+        else:
+            tex_coef = jnp.zeros_like(sf)
+
+        def red(x):
+            # [FB, th, tw] -> [FB, 1] staying 2-D for Mosaic layout inference
+            return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
+
+        # ---- texture gradients -------------------------------------------
+        if p.texture_type_id == 0:
+            R = int(math.sqrt(T))
+            idx = _surface_tex_idx(wc, R)
+            gk = [tex_coef * g_rgb[k][None] for k in range(3)]
+            for ti in range(T):
+                sel = (idx == ti).astype(jnp.float32)
+                for k in range(3):
+                    gtex_ref[0, :, ti * 3 + k:ti * 3 + k + 1] = red(sel * gk[k])
+        else:
+            for ci in range(3):
+                coef = tex_coef * wc[ci]
+                for k in range(3):
+                    gtex_ref[0, :, ci * 3 + k:ci * 3 + k + 1] = red(coef * g_rgb[k][None])
+
+        # ---- sigmoid/distance chain to vertex positions -------------------
+        C_grad_xy = C_grad_xy * sf * (1.0 - sf) / p.sigma_val
+        C_grad_xy = C_grad_xy * vf
+
+        gx = [jnp.zeros_like(sf) for _ in range(3)]
+        gy = [jnp.zeros_like(sf) for _ in range(3)]
+        if p.dist_func_id == 1:
+            t = terms['t']  # == w
+            pmin = jnp.where(t[0] > t[1],
+                             jnp.where(t[1] > t[2], 2, 1),
+                             jnp.where(t[0] > t[2], 2, 0))
+            mn = jnp.minimum(jnp.minimum(w[0], w[1]), w[2])
+            dis_abs = mn * mn
+            scale = 2.0 * jnp.sqrt(dis_abs)
+            C = C_grad_xy * scale
+            for l in range(2):
+                inv_p = jnp.where(pmin == 0, inv[:, 0 + l][:, None, None],
+                                  jnp.where(pmin == 1, inv[:, 3 + l][:, None, None],
+                                            inv[:, 6 + l][:, None, None]))
+                for k in range(3):
+                    gv = -inv_p * w[k] * C
+                    if l == 0:
+                        gx[k] = gv
+                    else:
+                        gy[k] = gv
+        elif p.dist_func_id == 2:
+            sign = terms['sign']
+            # mask at the source: sentinel faces can carry inf through the
+            # safe-div chain and 0*inf would poison the reduction with NaN
+            dis_x = jnp.where(valid, terms['dis_x'], 0.0)
+            dis_y = jnp.where(valid, terms['dis_y'], 0.0)
+            t = terms['t']
+            C2 = 2.0 * sign * C_grad_xy
+            for k in range(3):
+                tau = jnp.where(valid, t[k] + w[k], 0.0)
+                gx[k] = C2 * tau * dis_x
+                gy[k] = C2 * tau * dis_y
+        # hard dist: sf==1 -> sigmoid grad 0 -> gx/gy stay 0
+
+        for k in range(3):
+            gface_ref[0, :, 3 * k:3 * k + 1] = red(gx[k])
+            gface_ref[0, :, 3 * k + 1:3 * k + 2] = red(gy[k])
+            gface_ref[0, :, 3 * k + 2:3 * k + 3] = red(jnp.where(valid, gz[k], 0.0))
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def soft_rasterize_bwd_pallas(face_vertices, textures, soft_colors, aggrs_info,
+                              tile_ids, grad_soft_colors, p: SoftRasParams):
+    """Backward pass; returns (grad_face_vertices, grad_textures)."""
+    B, F = face_vertices.shape[:2]
+    th, tw = TILE_H, min(TILE_W, p.image_size)
+    is_ = p.image_size
+    cap = _tile_cap(F)
+    TY, TX = is_ // th, is_ // tw
+    w_cap = _work_cap(F, TY * TX, B)
+
+    (ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
+     out_b, out_ty, out_tx, first, last, active, lists, T) = _prep_work_data(
+        face_vertices, textures, p, cap, th, tw, w_cap)
+
+    FB = FACE_BLOCK
+    kernel = _make_bwd_kernel(p, T, F, th, tw)
+
+    def in_spec(c):
+        return pl.BlockSpec((1, FB, c),
+                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def px_spec(c):
+        return pl.BlockSpec((1, c, th, tw),
+                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (b_s[i], 0, ty_s[i], tx_s[i]),
+                            memory_space=pltpu.VMEM)
+
+    out_specs = [
+        pl.BlockSpec((1, FB, 9), lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, FB, T * 3), lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((w_cap, FB, 9), jnp.float32),
+        jax.ShapeDtypeStruct((w_cap, FB, T * 3), jnp.float32),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(w_cap,),
+        in_specs=[in_spec(1), in_spec(9), in_spec(9), in_spec(9), in_spec(3),
+                  in_spec(1), in_spec(g_tex.shape[-1]),
+                  px_spec(4), px_spec(2), px_spec(4)],
+        out_specs=out_specs,
+        scratch_shapes=[],
+    )
+
+    gface_slots, gtex_slots = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=not _is_tpu(),
+    )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
+      g_obt, g_front, g_tex, soft_colors, aggrs_info, grad_soft_colors)
+
+    # deterministic scatter: segment-sum slots into per-face gradients
+    ids_w = ids[..., 0]                                          # [W, FB]
+    NT = TY * TX
+    # batch of each work item (recompute like _prep_work_data)
+    seg_b = out_b[:, None]
+    seg = jnp.where(ids_w >= 0, seg_b * F + ids_w, B * F)
+    gf = jax.ops.segment_sum(gface_slots.reshape(-1, 9), seg.reshape(-1),
+                             num_segments=B * F + 1)[:-1]
+    gt = jax.ops.segment_sum(gtex_slots.reshape(-1, T * 3), seg.reshape(-1),
+                             num_segments=B * F + 1)[:-1]
+    return (gf.reshape(face_vertices.shape),
+            gt.reshape(textures.shape))
+
+
+def _tile_cap(F: int, default: int = 4096) -> int:
+    cap = min(F, default)
+    # round to a multiple of FACE_BLOCK
+    return max(FACE_BLOCK, (cap + FACE_BLOCK - 1) // FACE_BLOCK * FACE_BLOCK)
+
+
+def _work_cap(F: int, n_tiles: int, B: int) -> int:
+    """Static bound on total work items (see binning.build_work_list).
+
+    Every tile emits >= 1 item; busy tiles emit ceil(count/FB).  A face
+    whose bbox spans t tiles contributes t list entries; small faces span
+    1-4 tiles, so 8x average is a generous skew margin."""
+    est = B * n_tiles + (8 * F * B) // FACE_BLOCK
+    return max(64, est)
+
+
+def _prep_work_data(face_vertices, textures, p: SoftRasParams, cap, th, tw, w_cap):
+    """XLA pre-pass: preprocess faces, bin, build the work list, and gather
+    per-work-item face data [W, FB, C]."""
+    B, F = face_vertices.shape[:2]
+    face = face_vertices.reshape(B, F, 9)
+    T = textures.shape[2] if p.texture_type_id == 0 else 3
+    tex = textures.reshape(B, F, T * 3)
+
+    face_inv, face_sym, face_obt = G.face_info_preprocess(face)
+    front = G.check_face_frontside(face).astype(jnp.float32)[..., None]
+
+    is_ = p.image_size
+    TY, TX = is_ // th, is_ // tw
+    NT = TY * TX
+    lists = build_tile_lists(face, is_, th, tw, cap, p.threshold)
+
+    work = build_work_list(lists.counts, cap, FACE_BLOCK, w_cap)
+    W = w_cap
+    # padding items replay the last real tile (never write -> harmless)
+    total = work.num_items
+    last_real = jnp.maximum(total - 1, 0)
+    in_range = jnp.arange(W, dtype=jnp.int32) < total
+    tile = jnp.where(in_range, work.tile, work.tile[last_real])
+    chunk = jnp.where(in_range, work.chunk, 0)
+    first = jnp.where(in_range, work.first, 0)
+    last = jnp.where(in_range, work.last, 0)
+
+    # slice face-id chunks per work item: [W, FB]
+    ids_flat = lists.ids.reshape(B * NT * cap)
+    slot = tile[:, None] * cap + chunk[:, None] * FACE_BLOCK + \
+        jnp.arange(FACE_BLOCK, dtype=jnp.int32)[None, :]
+    ids_w = ids_flat[slot]                                        # [W, FB]
+    # padding items must not contribute pairs (backward segment-sums every
+    # work item's gradient block; a replayed chunk would double-count)
+    ids_w = jnp.where(in_range[:, None], ids_w, -1)
+
+    b_of = tile // NT
+    fid_safe = jnp.maximum(ids_w, 0)
+    gidx = b_of[:, None] * F + fid_safe                           # [W, FB]
+
+    def g(a):
+        return a.reshape((B * F,) + a.shape[2:])[gidx]
+
+    g_face = jnp.where((ids_w < 0)[..., None], SENTINEL, g(face))
+    g_inv, g_sym, g_obt, g_front, g_tex = g(face_inv), g(face_sym), g(face_obt), \
+        g(front), g(tex)
+
+    t_in_b = tile - b_of * NT
+    out_b = b_of
+    out_ty = t_in_b // TX
+    out_tx = t_in_b - out_ty * TX
+    active = in_range.astype(jnp.int32)
+
+    return (ids_w[..., None].astype(jnp.int32), g_face, g_inv, g_sym, g_obt,
+            g_front, g_tex, out_b, out_ty, out_tx, first, last, active, lists, T)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def soft_rasterize_fwd_pallas(face_vertices, textures, p: SoftRasParams):
+    """Forward pass; returns (soft_colors [B,4,H,W], aggrs [B,2,H,W],
+    tile_ids [B,NT,cap]) — tile_ids doubles as the backward's face lists."""
+    B, F = face_vertices.shape[:2]
+    th, tw = TILE_H, min(TILE_W, p.image_size)
+    is_ = p.image_size
+    assert is_ % th == 0 and is_ % tw == 0, 'image_size must tile evenly'
+    cap = _tile_cap(F)
+    TY, TX = is_ // th, is_ // tw
+    w_cap = _work_cap(F, TY * TX, B)
+
+    (ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
+     out_b, out_ty, out_tx, first, last, active, lists, T) = _prep_work_data(
+        face_vertices, textures, p, cap, th, tw, w_cap)
+
+    FB = FACE_BLOCK
+    kernel = _make_fwd_kernel(p, T, F, th, tw)
+
+    # index maps receive (i, *scalar_prefetch_refs)
+    def in_spec(c):
+        return pl.BlockSpec((1, FB, c),
+                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_specs = [
+        pl.BlockSpec((1, 4, th, tw),
+                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (b_s[i], 0, ty_s[i], tx_s[i]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, th, tw),
+                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (b_s[i], 0, ty_s[i], tx_s[i]),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, 4, is_, is_), jnp.float32),
+        jax.ShapeDtypeStruct((B, 2, is_, is_), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((3, th, tw), jnp.float32),   # acc_num
+        pltpu.VMEM((th, tw), jnp.float32),      # acc_sum
+        pltpu.VMEM((th, tw), jnp.float32),      # acc_max
+        pltpu.VMEM((th, tw), jnp.float32),      # acc_alpha
+        pltpu.VMEM((th, tw), jnp.float32),      # acc_dmin
+        pltpu.VMEM((th, tw), jnp.int32),        # acc_did
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(w_cap,),
+        in_specs=[in_spec(1), in_spec(9), in_spec(9), in_spec(9), in_spec(3),
+                  in_spec(1), in_spec(g_tex.shape[-1])],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+
+    out, aggrs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=not _is_tpu(),
+    )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
+      g_obt, g_front, g_tex)
+
+    return out, aggrs, lists.ids

@@ -1,0 +1,181 @@
+"""Pallas kernel parity vs the jnp oracle (interpret mode on CPU)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from jrender_tpu.ops.softras import jax_impl, pallas_impl, make_params
+
+from conftest import make_random_mesh
+
+
+def _run_both(fv, tex, p):
+    out_j, ag_j, _ = jax_impl.soft_rasterize_fwd_jax(jnp.asarray(fv), jnp.asarray(tex), p)
+    out_p, ag_p, _ = pallas_impl.soft_rasterize_fwd_pallas(jnp.asarray(fv), jnp.asarray(tex), p)
+    return np.asarray(out_j), np.asarray(out_p), np.asarray(ag_j), np.asarray(ag_p)
+
+
+def assert_images_close(a, b, atol=2e-5, boundary_frac=0.01):
+    """Images must agree except at texel-selector discontinuities.
+
+    The surface-texture texel index is a discontinuous function of the
+    clipped barycentrics; FMA contraction differences between the XLA and
+    Pallas pipelines can flip the choice exactly at texel boundaries
+    (verified: every mismatching pixel sits on a boundary).  So: tight
+    agreement for the vast majority, bounded fraction of flips."""
+    diff = np.abs(a - b)
+    frac = (diff > atol).mean()
+    assert frac <= boundary_frac, f'mismatch fraction {frac:.4f} (max {diff.max():.4f})'
+
+
+@pytest.mark.parametrize('dist_func', ['euclidean', 'barycentric', 'hard'])
+def test_fwd_parity_dist(dist_func, rng):
+    p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3, dist_func=dist_func)
+    fv = make_random_mesh(rng, num_faces=40).reshape(1, 40, 9)
+    tex = rng.uniform(size=(1, 40, 4, 3)).astype(np.float32)
+    oj, op, aj, ap = _run_both(fv, tex, p)
+    assert_images_close(op, oj)
+    # alpha and the softmax denominators are smooth -> must agree tightly
+    np.testing.assert_allclose(op[:, 3], oj[:, 3], atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(ap, aj, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize('alpha_func', ['prod', 'sum', 'hard'])
+def test_fwd_parity_alpha(alpha_func, rng):
+    p = make_params(image_size=32, sigma_val=1e-3, aggr_func_alpha=alpha_func)
+    fv = make_random_mesh(rng, num_faces=24).reshape(1, 24, 9)
+    tex = rng.uniform(size=(1, 24, 4, 3)).astype(np.float32)
+    oj, op, _, _ = _run_both(fv, tex, p)
+    np.testing.assert_allclose(op[:, 3], oj[:, 3], atol=2e-5, rtol=1e-4)
+
+
+def test_fwd_parity_hard_rgb(rng):
+    p = make_params(image_size=32, dist_func='hard', aggr_func_rgb='hard',
+                    aggr_func_alpha='hard')
+    fv = make_random_mesh(rng, num_faces=24).reshape(1, 24, 9)
+    tex = rng.uniform(size=(1, 24, 4, 3)).astype(np.float32)
+    oj, op, aj, ap = _run_both(fv, tex, p)
+    assert_images_close(op, oj)
+    # aggrs: depth_min and face_index_min must agree exactly
+    np.testing.assert_allclose(ap[:, 0], aj[:, 0], atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(ap[:, 1], aj[:, 1])
+
+
+def test_fwd_parity_vertex_texture(rng):
+    p = make_params(image_size=32, sigma_val=1e-3, texture_type='vertex')
+    fv = make_random_mesh(rng, num_faces=24).reshape(1, 24, 9)
+    tex = rng.uniform(size=(1, 24, 3, 3)).astype(np.float32)
+    oj, op, _, _ = _run_both(fv, tex, p)
+    assert_images_close(op, oj)
+
+
+def test_fwd_parity_batched(rng):
+    p = make_params(image_size=32, sigma_val=1e-3)
+    fv = np.concatenate([make_random_mesh(rng, num_faces=16) for _ in range(2)], 0)
+    tex = rng.uniform(size=(2, 16, 4, 3)).astype(np.float32)
+    oj, op, _, _ = _run_both(fv.reshape(2, 16, 9), tex, p)
+    assert_images_close(op, oj)
+
+
+def test_fwd_parity_background(rng):
+    p = make_params(image_size=32, sigma_val=1e-3, background_color=(0.2, 0.4, 0.6))
+    fv = make_random_mesh(rng, num_faces=8).reshape(1, 8, 9)
+    tex = rng.uniform(size=(1, 8, 4, 3)).astype(np.float32)
+    oj, op, _, _ = _run_both(fv, tex, p)
+    assert_images_close(op, oj)
+
+
+def test_binning_lists_cover_bbox(rng):
+    from jrender_tpu.ops.softras.binning import build_tile_lists
+    fv = make_random_mesh(rng, num_faces=32).reshape(1, 32, 9)
+    p = make_params(image_size=64, sigma_val=1e-3)
+    lists = build_tile_lists(jnp.asarray(fv), 64, 16, 32, cap=32, threshold=p.threshold)
+    ids = np.asarray(lists.ids)
+    assert ids.shape == (1, (64 // 16) * (64 // 32), 32)
+    # every face appears in at least one tile (faces are on-screen)
+    seen = set(ids[ids >= 0].tolist())
+    assert seen == set(range(32))
+
+
+class TestBackwardParity:
+    def _grads_both(self, fv, tex, p_jax, p_pal, rng):
+        import jax
+        g = rng.randn(1, 4, p_jax.image_size, p_jax.image_size).astype(np.float32)
+        out_j, ag_j, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p_jax)
+        gf_j, gt_j = jax_impl.soft_rasterize_bwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j, jnp.asarray(g), p_jax)
+        out_p, ag_p, ids = pallas_impl.soft_rasterize_fwd_pallas(
+            jnp.asarray(fv), jnp.asarray(tex), p_pal)
+        gf_p, gt_p = pallas_impl.soft_rasterize_bwd_pallas(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, ids, jnp.asarray(g), p_pal)
+        return map(np.asarray, (gf_j, gt_j, gf_p, gt_p))
+
+    @pytest.mark.parametrize('dist_func', ['euclidean', 'barycentric'])
+    def test_bwd_parity_T1(self, dist_func, rng):
+        """texture_res=1: no texel-selection discontinuity -> gradients of
+        the full geometry chain must match the oracle tightly."""
+        F = 24
+        # jnp path with K=F == untruncated gradient, same as pallas semantics
+        p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                        dist_func=dist_func, max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 1, 3)).astype(np.float32)
+        gf_j, gt_j, gf_p, gt_p = self._grads_both(fv, tex, p, p, rng)
+        scale = np.abs(gf_j).max()
+        np.testing.assert_allclose(gf_p, gf_j, atol=2e-3 * scale, rtol=2e-3)
+        tscale = max(np.abs(gt_j).max(), 1e-6)
+        np.testing.assert_allclose(gt_p, gt_j, atol=2e-3 * tscale, rtol=2e-3)
+
+    def test_bwd_parity_T4_statistical(self, rng):
+        """R=2 textures: texel-boundary flips move gradient mass between
+        adjacent texels; demand agreement except a bounded fraction."""
+        rng = np.random.RandomState(7)  # deterministic regardless of test order
+        F = 24
+        p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                        max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        gf_j, gt_j, gf_p, gt_p = self._grads_both(fv, tex, p, p, rng)
+        scale = np.abs(gf_j).max()
+        assert (np.abs(gf_p - gf_j) > 2e-3 * scale).mean() < 0.08
+        # per-face texture-gradient *totals* are flip-invariant
+        np.testing.assert_allclose(gt_p.sum(axis=2), gt_j.sum(axis=2),
+                                   atol=2e-3 * max(np.abs(gt_j).max(), 1e-6), rtol=2e-3)
+
+    def test_bwd_parity_vertex(self, rng):
+        F = 16
+        p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                        texture_type='vertex', max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 3, 3)).astype(np.float32)
+        gf_j, gt_j, gf_p, gt_p = self._grads_both(fv, tex, p, p, rng)
+        scale = np.abs(gf_j).max()
+        np.testing.assert_allclose(gf_p, gf_j, atol=2e-3 * scale, rtol=2e-3)
+        tscale = max(np.abs(gt_j).max(), 1e-6)
+        np.testing.assert_allclose(gt_p, gt_j, atol=2e-3 * tscale, rtol=2e-3)
+
+    def test_bwd_parity_hard_rgb(self, rng):
+        F = 16
+        p = make_params(image_size=32, dist_func='hard', aggr_func_rgb='hard',
+                        aggr_func_alpha='hard', max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        gf_j, gt_j, gf_p, gt_p = self._grads_both(fv, tex, p, p, rng)
+        np.testing.assert_allclose(gf_p, gf_j, atol=1e-5)
+        tscale = max(np.abs(gt_j).max(), 1e-6)
+        np.testing.assert_allclose(gt_p, gt_j, atol=2e-3 * tscale, rtol=2e-3)
+
+
+def test_custom_vjp_pallas_backend(rng):
+    import jax
+    from jrender_tpu.ops.softras.api import soft_rasterize
+    fv = make_random_mesh(rng, num_faces=8).reshape(1, 8, 9).astype(np.float32)
+    tex = rng.uniform(size=(1, 8, 4, 3)).astype(np.float32)
+
+    def loss(x, t):
+        img = soft_rasterize(x, t, image_size=32, sigma_val=1e-3, backend='pallas')
+        return jnp.sum(img ** 2)
+
+    gf, gt = jax.grad(loss, argnums=(0, 1))(jnp.asarray(fv), jnp.asarray(tex))
+    assert np.isfinite(np.asarray(gf)).all() and np.abs(np.asarray(gf)).sum() > 0
+    assert np.isfinite(np.asarray(gt)).all() and np.abs(np.asarray(gt)).sum() > 0
