@@ -1,0 +1,175 @@
+"""N3MR rasterizer tests (CPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from jrender_tpu.ops.n3mr import (rasterize_rgbad, rasterize,
+                                  rasterize_silhouettes, rasterize_depth,
+                                  N3mrRasterizer, vertices_to_faces)
+
+
+def tri(z=2.0, reverse=False):
+    # n3mr's frontside convention is opposite to softras': it draws this
+    # winding as-is (rasterize.py:63 skips when the softras-frontside
+    # expression holds)
+    fv = np.array([[[-0.7, -0.7, z], [0.7, -0.7, z], [0.0, 0.7, z]]], np.float32)
+    if reverse:
+        fv = fv[:, ::-1, :]
+    return fv[None]  # [1,1,3,3]
+
+
+class TestForward:
+    def test_silhouette(self):
+        sil = rasterize_silhouettes(jnp.asarray(tri()), image_size=32,
+                                    anti_aliasing=False)
+        s = np.asarray(sil)
+        assert s.shape == (1, 32, 32)
+        assert s[0, 16, 16] == 1.0
+        assert s[0, 0, 0] == 0.0
+        assert 0.05 < s.mean() < 0.6
+
+    def test_depth(self):
+        d = np.asarray(rasterize_depth(jnp.asarray(tri(z=3.0)), image_size=32,
+                                       anti_aliasing=False))
+        assert abs(d[0, 16, 16] - 3.0) < 1e-4
+        assert d[0, 0, 0] == 100.0  # far background
+
+    def test_rgb_flat_texture(self):
+        fv = jnp.asarray(tri())
+        tex = np.zeros((1, 1, 2, 2, 2, 3), np.float32)
+        tex[..., 1] = 0.7  # green
+        img = np.asarray(rasterize(fv, jnp.asarray(tex), image_size=32,
+                                   anti_aliasing=False))
+        assert img.shape == (1, 3, 32, 32)
+        np.testing.assert_allclose(img[0, :, 16, 16], [0, 0.7, 0], atol=1e-5)
+
+    def test_depth_ordering(self):
+        near_t = tri(z=2.0)
+        far_t = tri(z=5.0)
+        fv = np.concatenate([far_t, near_t], axis=1)
+        tex = np.zeros((1, 2, 2, 2, 2, 3), np.float32)
+        tex[0, 0, ..., 2] = 1.0  # far blue
+        tex[0, 1, ..., 0] = 1.0  # near red
+        img = np.asarray(rasterize(jnp.asarray(fv), jnp.asarray(tex),
+                                   image_size=32, anti_aliasing=False))
+        np.testing.assert_allclose(img[0, :, 16, 16], [1, 0, 0], atol=1e-5)
+
+    def test_backface_culled(self):
+        sil = rasterize_silhouettes(jnp.asarray(tri(reverse=True)),
+                                    image_size=32, anti_aliasing=False)
+        assert np.asarray(sil).max() == 0.0
+
+    def test_anti_aliasing(self):
+        sil = rasterize_silhouettes(jnp.asarray(tri()), image_size=32,
+                                    anti_aliasing=True)
+        s = np.asarray(sil)
+        assert s.shape == (1, 32, 32)
+        assert ((s > 0) & (s < 1)).any()  # soft edges from supersampling
+
+    def test_rgbad_dict(self):
+        fv = jnp.asarray(tri())
+        tex = jnp.ones((1, 1, 2, 2, 2, 3), jnp.float32)
+        out = rasterize_rgbad(fv, tex, image_size=16, anti_aliasing=False)
+        assert out['rgb'].shape == (1, 3, 16, 16)
+        assert out['alpha'].shape == (1, 16, 16)
+        assert out['depth'].shape == (1, 16, 16)
+
+
+class TestBackward:
+    def test_silhouette_gradient_nonzero(self):
+        fv = jnp.asarray(tri())
+
+        def loss(x):
+            sil = rasterize_silhouettes(x, image_size=32, anti_aliasing=False)
+            return jnp.sum(sil)
+
+        g = np.asarray(jax.grad(loss)(fv))
+        assert np.isfinite(g).all()
+        assert np.abs(g).sum() > 0
+        # z never gets silhouette gradients in the reference
+        np.testing.assert_array_equal(g[..., 2], 0.0)
+
+    def test_silhouette_gradient_direction(self):
+        """Growing the triangle should increase silhouette coverage:
+        the NMR gradient of sum(alpha) wrt an outward vertex move must be
+        positive along that direction."""
+        fv = tri()
+
+        def loss(x):
+            return jnp.sum(rasterize_silhouettes(x, image_size=64,
+                                                 anti_aliasing=False))
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(fv)))[0, 0]  # [3,3]
+        verts = fv[0, 0]
+        centroid = verts[:, :2].mean(0)
+        for k in range(3):
+            outward = verts[k, :2] - centroid
+            outward /= np.linalg.norm(outward)
+            assert np.dot(g[k, :2], outward) > 0, (k, g[k], outward)
+
+    def test_texture_gradient(self):
+        fv = jnp.asarray(tri())
+        tex = jnp.full((1, 1, 2, 2, 2, 3), 0.5)
+
+        def loss(t):
+            img = rasterize(fv, t, image_size=32, anti_aliasing=False)
+            return jnp.sum(img)
+
+        g = np.asarray(jax.grad(loss)(tex))
+        assert np.isfinite(g).all() and g.sum() > 0
+        # linearity: gradient equals coverage-weighted sampling weights
+        fd = float(loss(tex + 0.01) - loss(tex)) / 0.01
+        np.testing.assert_allclose(fd, g.sum(), rtol=1e-2)
+
+    def test_depth_gradient_fd(self):
+        """Depth map is smooth in z -> finite differences must match."""
+        fv = tri(z=3.0).astype(np.float64)
+
+        def loss(x):
+            d = rasterize_depth(jnp.asarray(x, jnp.float32), image_size=16,
+                                anti_aliasing=False)
+            return float(jnp.sum(jnp.where(d < 99.0, d, 0.0)))
+
+        g = jax.grad(lambda x: jnp.sum(jnp.where(
+            rasterize_depth(x, image_size=16, anti_aliasing=False) < 99.0,
+            rasterize_depth(x, image_size=16, anti_aliasing=False), 0.0)))(
+                jnp.asarray(fv, jnp.float32))
+        g = np.asarray(g)
+        eps = 1e-3
+        for k in range(3):
+            fvp = fv.copy()
+            fvp[0, 0, k, 2] += eps
+            fvm = fv.copy()
+            fvm[0, 0, k, 2] -= eps
+            fd = (loss(fvp) - loss(fvm)) / (2 * eps)
+            np.testing.assert_allclose(g[0, 0, k, 2], fd, rtol=5e-2, atol=1e-3)
+
+
+class TestModuleFacade:
+    def test_rasterizer_mesh_modes(self):
+        from jrender_tpu.structures import Mesh
+        verts = np.array([[0.0, 0.7, 2.0], [0.7, -0.7, 2.0], [-0.7, -0.7, 2.0]],
+                         np.float32)
+        faces = np.array([[0, 1, 2]], np.int32)
+        mesh = Mesh(verts, faces, texture_res=2, texture_type='surface',
+                    dr_type='n3mr')
+        r = N3mrRasterizer(image_size=32, anti_aliasing=False)
+        sil = r(mesh, 'silhouettes')
+        assert np.asarray(sil).max() == 1.0
+        rgb = r(mesh, 'rgb')
+        assert np.asarray(rgb).shape == (1, 3, 32, 32)
+        d = r(mesh, 'depth')
+        assert np.asarray(d).min() < 3.0
+
+    def test_renderer_facade_n3mr(self):
+        import jrender_tpu as jr
+        verts = np.array([[0.0, 0.4, 0.0], [0.4, -0.4, 0.0], [-0.4, -0.4, 0.0]],
+                         np.float32)[None]
+        faces = np.array([[0, 1, 2]], np.int32)[None]
+        mesh = jr.Mesh(verts, faces, texture_res=2, texture_type='surface',
+                       dr_type='n3mr')
+        renderer = jr.Renderer(dr_type='n3mr', image_size=32, camera_mode='look_at')
+        renderer.transform.set_eyes_from_angles(2.732, 0, 0)
+        sil = renderer.render_mesh(mesh, mode='silhouettes')
+        assert np.asarray(sil).max() > 0.5
