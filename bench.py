@@ -1,0 +1,104 @@
+"""Headline benchmark: SoftRas forward+backward, 1024x1024, ~39k-face mesh.
+
+Mirrors the reference's README benchmark (README.md:63-69: jrender does
+35.5 ms/frame fwd+bwd on the "large (39k tris)" mesh at 1024^2 on an
+unstated GPU — BASELINE.md).  Prints ONE JSON line:
+  {"metric": ..., "value": ms, "unit": "ms/frame", "vs_baseline": speedup}
+
+The mesh is a UV-sphere with 39,474 triangles (on-screen, spot-like
+face footprint), textured with R=5 surface textures (demo1's setting),
+rendered with the default euclidean/softmax/prod config; the timed step
+is grad(sum(rgba)) wrt vertices AND textures — the same fwd+bwd the
+reference times.  Chained on-device via lax.scan so host/tunnel latency
+is excluded.
+"""
+import json
+import time
+import functools
+
+import numpy as np
+
+BASELINE_MS = 35.5
+IMAGE_SIZE = 1024
+RINGS = 130
+SEGS = 153  # 2*SEGS*(RINGS-1) = 39,474 faces
+
+
+def uv_sphere(rings=RINGS, segs=SEGS, radius=0.85):
+    """UV sphere triangulation: [V,3], [F,3] (realistic small faces)."""
+    vs = []
+    for r in range(rings + 1):
+        phi = np.pi * r / rings
+        for s in range(segs):
+            th = 2 * np.pi * s / segs
+            vs.append([np.sin(phi) * np.cos(th) * radius,
+                       np.cos(phi) * radius,
+                       np.sin(phi) * np.sin(th) * radius])
+    vs = np.asarray(vs, np.float32)
+    fs = []
+    for r in range(rings):
+        for s in range(segs):
+            a = r * segs + s
+            b = r * segs + (s + 1) % segs
+            c = (r + 1) * segs + s
+            d = (r + 1) * segs + (s + 1) % segs
+            if r > 0:
+                fs.append([a, b, c])
+            if r < rings - 1:
+                fs.append([b, d, c])
+    return vs, np.asarray(fs, np.int32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from jrender_tpu.transform import look_at, perspective
+    from jrender_tpu.structures import Mesh
+    from jrender_tpu.ops.softras import soft_rasterize
+
+    verts, faces = uv_sphere()
+    mesh = Mesh(verts, faces, texture_res=5, texture_type='surface')
+    v = perspective(look_at(mesh.vertices, eye=[0, 0, -2.732]), angle=30)
+    fv = Mesh(v, mesh.faces).face_vertices.reshape(1, -1, 9)
+    tex = jax.random.uniform(jax.random.PRNGKey(0), (1, fv.shape[1], 25, 3))
+    F = fv.shape[1]
+
+    def one(x, t):
+        img = soft_rasterize(x, t, image_size=IMAGE_SIZE, sigma_val=1e-5,
+                             gamma_val=1e-4)
+        return jnp.sum(img)
+
+    grad_fn = jax.grad(one, argnums=(0, 1))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def many(x, t, n):
+        def body(c, _):
+            gf, gt = grad_fn(x, t)
+            return c + gf[0, 0, 0], None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return c
+
+    # warmup / compile
+    c = many(fv, tex, 3)
+    assert np.isfinite(float(c)), 'non-finite gradients'
+
+    best = np.inf
+    iters = 5
+    for _ in range(3):
+        t0 = time.time()
+        float(many(fv, tex, iters))
+        best = min(best, (time.time() - t0) / iters * 1e3)
+
+    print(json.dumps({
+        'metric': f'softras_fwd_bwd_{IMAGE_SIZE}px_{F}faces',
+        'value': round(best, 2),
+        'unit': 'ms/frame',
+        'vs_baseline': round(BASELINE_MS / best, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()
