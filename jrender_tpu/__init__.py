@@ -17,6 +17,7 @@ from .lighting import Lighting, AmbientLighting, DirectionalLighting, lighting
 from .io import load_obj, save_obj
 from .loss import LaplacianLoss, FlattenLoss, neg_iou_loss
 from .ops.softras import soft_rasterize
+from .scene import Scene, Render, Light, Texture
 from .utils import get_points_from_angles
 
 __version__ = '0.1.0'
