@@ -190,8 +190,13 @@ def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams):
 
     wc = [jnp.clip(w[k], 0.0, 1.0) for k in range(3)]
     wsum = jnp.maximum(wc[0] + wc[1] + wc[2], 1e-5)
+    # wc feeds the DISCONTINUOUS texel selector: keep exact division so
+    # rounding matches the oracle/reference bit-for-bit
     wc = [c / wsum for c in wc]
-    zp = 1.0 / (wc[0] / fz[0] + wc[1] / fz[1] + wc[2] / fz[2])
+    # reciprocal z per FACE (FB divides) instead of per pair (FB*th*tw);
+    # zp only feeds continuous paths (softmax weights), ulp shifts are fine
+    invz = tuple(1.0 / z for z in fz)
+    zp = 1.0 / (wc[0] * invz[0] + wc[1] * invz[1] + wc[2] * invz[2])
     z_valid = (zp >= p.near) & (zp <= p.far)
     tk_valid = alpha_valid & z_valid
 
@@ -201,7 +206,7 @@ def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams):
     return dict(w=w, wc=wc, sf=sf, zp=zp, alpha_valid=alpha_valid,
                 not_border=not_border,
                 tk_valid=tk_valid, inside=inside_w, sign=sign,
-                dis_x=dis_x, dis_y=dis_y, t=t, fz=fz)
+                dis_x=dis_x, dis_y=dis_y, t=t, fz=fz, invz=invz)
 
 
 def _surface_tex_idx(wc, R: int):
@@ -226,14 +231,14 @@ def _pair_colors(tex, terms, p: SoftRasParams, T: int, perspective=True):
             cols.append(acc)
         return tuple(cols)
     # vertex colors: tex [FB, 9] per-corner rgb
-    fz = terms['fz']
+    invz = terms['invz']
     zp = terms['zp']
     cols = []
     for k in range(3):
         if perspective:
-            c = (wc[0] / fz[0] * tex[:, k][:, None, None] +
-                 wc[1] / fz[1] * tex[:, 3 + k][:, None, None] +
-                 wc[2] / fz[2] * tex[:, 6 + k][:, None, None]) * zp
+            c = (wc[0] * invz[0] * tex[:, k][:, None, None] +
+                 wc[1] * invz[1] * tex[:, 3 + k][:, None, None] +
+                 wc[2] * invz[2] * tex[:, 6 + k][:, None, None]) * zp
         else:
             c = (wc[0] * tex[:, k][:, None, None] +
                  wc[1] * tex[:, 3 + k][:, None, None] +
@@ -297,9 +302,13 @@ def _make_fwd_kernel(p: SoftRasParams, T: int, F_total: int, th: int, tw: int):
             elif p.alpha_func_id == 1:
                 acc_alpha[:] = acc_alpha[:] + jnp.sum(sf_a, axis=0)
             else:
-                # prod(1-sf) via exp-sum-log1p (Mosaic has no reduce_prod);
-                # sf==1 gives log1p(-1) = -inf -> exp(-inf) = 0, as desired
-                acc_alpha[:] = acc_alpha[:] * jnp.exp(jnp.sum(jnp.log1p(-sf_a), axis=0))
+                # prod(1-sf) via pairwise tree multiply (Mosaic has no
+                # reduce_prod; log1p/exp would cost a transcendental/pair)
+                x = 1.0 - sf_a
+                while x.shape[0] > 1:
+                    h = x.shape[0] // 2
+                    x = x[:h] * x[h:]
+                acc_alpha[:] = acc_alpha[:] * x[0]
 
             side_ok = front[:, 0][:, None, None] > 0.5 if not p.fill_back else None
 
@@ -459,8 +468,9 @@ def _bwd_body(p, T, F_total, th, tw, i, ty, tx,
             C_grad_xy = C_grad_xy + C_grad_xyz / jnp.maximum(sf, 1e-30)
 
             C_grad_z = C_grad_xyz / p.gamma_val / (p.near - p.far) * zp * zp
+            invz = terms['invz']
             for k in range(3):
-                gz[k] = C_grad_z * wc[k] / (fz[k] * fz[k])
+                gz[k] = C_grad_z * wc[k] * (invz[k] * invz[k])
 
             tex_coef = zp_softmax                                  # [FB,th,tw]
         elif p.rgb_func_id == 0:
