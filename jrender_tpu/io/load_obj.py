@@ -33,6 +33,15 @@ def _parse_lines(filename_obj):
         return f.readlines()
 
 
+def _native_parsed(filename_obj):
+    """Parse with the C++ loader when available (native/objloader.cpp)."""
+    try:
+        from ..native import parse_obj_native
+        return parse_obj_native(filename_obj)
+    except Exception:
+        return None
+
+
 def _parse_vertices(lines):
     vs = [[float(v) for v in ln.split()[1:4]] for ln in lines
           if ln.split() and ln.split()[0] == 'v']
@@ -181,8 +190,13 @@ def load_obj(filename_obj, normalization=False, load_texture=False, dr_type='sof
     """Load a Wavefront .obj; see module docstring for returned tuples."""
     assert dr_type in ('softras', 'n3mr')
     lines = _parse_lines(filename_obj)
-    vertices = _parse_vertices(lines)
-    faces = _parse_faces(lines)
+    parsed = _native_parsed(filename_obj)
+    if parsed is not None and parsed.faces.shape[0] > 0:
+        vertices = parsed.vertices
+        faces = parsed.faces
+    else:
+        vertices = _parse_vertices(lines)
+        faces = _parse_faces(lines)
 
     textures = normal_textures = TBN = face_texcoords = None
     if load_texture and texture_type == 'surface':

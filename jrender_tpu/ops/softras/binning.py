@@ -139,14 +139,17 @@ class WorkList(NamedTuple):
     num_items: jnp.ndarray  # [] int32 true number of items
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def build_work_list(counts: jnp.ndarray, cap: int, fb: int, w_cap: int) -> WorkList:
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def build_work_list(counts: jnp.ndarray, cap: int, fb: int, w_cap: int,
+                    skip_empty: bool = False) -> WorkList:
     """counts: [B, NT] true faces per tile (pre-cap).  Returns WorkList with
     static size w_cap (overflow beyond w_cap drops whole chunks — size
-    w_cap generously; every tile emits >= 1 item)."""
+    w_cap generously).  skip_empty: tiles with count==0 emit NO items
+    (the caller must fill their pixels separately)."""
     B, NT = counts.shape
     c = jnp.minimum(counts.reshape(-1), cap)                     # [B*NT]
-    nc = jnp.maximum((c + fb - 1) // fb, 1)                      # chunks per tile
+    nc = (c + fb - 1) // fb                                      # chunks per tile
+    nc = nc if skip_empty else jnp.maximum(nc, 1)
     offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(nc)[:-1].astype(jnp.int32)])
     total = offs[-1] + nc[-1]

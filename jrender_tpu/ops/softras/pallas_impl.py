@@ -40,6 +40,9 @@ SENTINEL = 1e9  # padded faces get this coordinate -> border check kills them
 TILE_H = 16
 TILE_W = 128
 FACE_BLOCK = 32
+# 'px_f' (pixels on sublanes, faces on lanes) is the fast layout for
+# meshes of small faces; 'f_px' is the legacy wide-tile layout
+LAYOUT = 'px_f'
 
 
 def _is_tpu() -> bool:
@@ -141,17 +144,28 @@ def _euclid_kernel(w, fx, fy, sym9, obt, xp, yp):
     return sign, dis_x, dis_y, t
 
 
-def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams):
-    """Forward per-pair quantities; face/inv/sym/obt: [FB, C] blocks,
-    xp/yp: [th, tw].  Returns dict of [FB, th, tw] arrays."""
-    def b(v):
-        return v[:, None, None]
+def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams,
+                       layout='f_px'):
+    """Forward per-pair quantities; face/inv/sym/obt: [FB, C] blocks.
+
+    layout 'f_px': pair arrays [FB, th, tw] (faces on sublanes, pixel
+    columns on lanes); layout 'px_f': pair arrays [ph, pw, FB] (pixels on
+    sublanes, FACES on lanes -- the lane-efficient layout for small
+    faces, since a face's bbox rarely spans a 128-pixel-wide tile)."""
+    if layout == 'f_px':
+        def b(v):
+            return v[:, None, None]
+        xpb = xp[None, :, :]
+        ypb = yp[None, :, :]
+    else:
+        def b(v):
+            return v[None, None, :]
+        xpb = xp[..., None]
+        ypb = yp[..., None]
 
     fx = (b(face[:, 0]), b(face[:, 3]), b(face[:, 6]))
     fy = (b(face[:, 1]), b(face[:, 4]), b(face[:, 7]))
     fz = (b(face[:, 2]), b(face[:, 5]), b(face[:, 8]))
-    xpb = xp[None, :, :]
-    ypb = yp[None, :, :]
 
     w = tuple(b(inv[:, 3 * k + 0]) * xpb + b(inv[:, 3 * k + 1]) * ypb + b(inv[:, 3 * k + 2])
               for k in range(3))
@@ -216,8 +230,15 @@ def _surface_tex_idx(wc, R: int):
     return jnp.where(low, w_y * R + w_x, (R - 1 - w_y) * R + (R - 1 - w_x))
 
 
-def _pair_colors(tex, terms, p: SoftRasParams, T: int, perspective=True):
-    """Per-pair rgb colors (3-tuple of [FB,th,tw]).  tex: [FB, T*3]."""
+def _pair_colors(tex, terms, p: SoftRasParams, T: int, perspective=True,
+                 layout='f_px'):
+    """Per-pair rgb colors (3-tuple of pair arrays).  tex: [FB, T*3]."""
+    if layout == 'f_px':
+        def bt(col):
+            return col[:, None, None]
+    else:
+        def bt(col):
+            return col[None, None, :]
     wc = terms['wc']
     if p.texture_type_id == 0:
         R = int(math.sqrt(T))
@@ -227,7 +248,7 @@ def _pair_colors(tex, terms, p: SoftRasParams, T: int, perspective=True):
             acc = jnp.zeros_like(wc[0])
             for ti in range(T):
                 sel = (idx == ti).astype(jnp.float32)
-                acc = acc + sel * tex[:, ti * 3 + k][:, None, None]
+                acc = acc + sel * bt(tex[:, ti * 3 + k])
             cols.append(acc)
         return tuple(cols)
     # vertex colors: tex [FB, 9] per-corner rgb
@@ -236,13 +257,13 @@ def _pair_colors(tex, terms, p: SoftRasParams, T: int, perspective=True):
     cols = []
     for k in range(3):
         if perspective:
-            c = (wc[0] * invz[0] * tex[:, k][:, None, None] +
-                 wc[1] * invz[1] * tex[:, 3 + k][:, None, None] +
-                 wc[2] * invz[2] * tex[:, 6 + k][:, None, None]) * zp
+            c = (wc[0] * invz[0] * bt(tex[:, k]) +
+                 wc[1] * invz[1] * bt(tex[:, 3 + k]) +
+                 wc[2] * invz[2] * bt(tex[:, 6 + k])) * zp
         else:
-            c = (wc[0] * tex[:, k][:, None, None] +
-                 wc[1] * tex[:, 3 + k][:, None, None] +
-                 wc[2] * tex[:, 6 + k][:, None, None])
+            c = (wc[0] * bt(tex[:, k]) +
+                 wc[1] * bt(tex[:, 3 + k]) +
+                 wc[2] * bt(tex[:, 6 + k]))
         cols.append(c)
     return tuple(cols)
 
@@ -755,3 +776,524 @@ def soft_rasterize_fwd_pallas(face_vertices, textures, p: SoftRasParams):
       g_obt, g_front, g_tex)
 
     return out, aggrs, lists.ids
+
+
+# ===========================================================================
+# 'px_f' layout: pixels on sublanes (small square tiles), FACES on lanes.
+#
+# With FB=128 faces across the 128 lanes and an 8x8-pixel tile, a face
+# chunk only touches tiles its bboxes overlap -- for meshes of small
+# faces this cuts the (face, pixel) pair count ~4x vs the [FB, th, 128]
+# layout where a ~17px-wide bbox pays for a 128-pixel-wide tile.
+# Uncovered tiles get no work items at all; their pixels are filled with
+# background by an XLA select after the kernel.
+# ===========================================================================
+
+PF_TILE = 8          # pixel tile is PF_TILE x PF_TILE
+PF_FB = 128          # faces per chunk == lane count
+
+
+def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
+    is_ = p.image_size
+    bg = p.background_color
+    ph = pw = PF_TILE
+
+    def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
+               ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref, tex_ref,
+               out_ref, aggrs_ref,
+               acc_num, acc_sum, acc_max, acc_alpha, acc_dmin, acc_did):
+        i = pl.program_id(0)
+        ty = ty_s[i]
+        tx = tx_s[i]
+
+        @pl.when(first_s[i] == 1)
+        def _init():
+            acc_max[:] = jnp.full((ph, pw), p.eps, jnp.float32)
+            acc_sum[:] = jnp.ones((ph, pw), jnp.float32)
+            for k in range(3):
+                acc_num[k] = jnp.full((ph, pw), bg[k], jnp.float32)
+            if p.alpha_func_id == 2:
+                acc_alpha[:] = jnp.ones((ph, pw), jnp.float32)
+            else:
+                acc_alpha[:] = jnp.zeros((ph, pw), jnp.float32)
+            acc_dmin[:] = jnp.full((ph, pw), BIG_DEPTH, jnp.float32)
+            acc_did[:] = jnp.full((ph, pw), -1, jnp.int32)
+
+        @pl.when(act_s[i] == 1)
+        def _merge():
+            rows = (ty * ph + jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+                    ).astype(jnp.float32)
+            cols = (tx * pw + jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
+                    ).astype(jnp.float32)
+            xp = (2.0 * cols + 1.0 - is_) / is_
+            yp = (is_ - 1.0 - 2.0 * rows) / is_
+
+            face = face_ref[0]
+            inv = inv_ref[0]
+            sym = sym_ref[0]
+            obt = obt_ref[0]
+            front = front_ref[0]
+            tex = tex_ref[0]
+            ids = ids_ref[0]                       # [FB,1]
+
+            terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p,
+                                       layout='px_f')
+            sf = terms['sf']                       # [ph,pw,FB]
+            zp = terms['zp']
+            alpha_valid = terms['alpha_valid']
+            tk_valid = terms['tk_valid']
+
+            sf_a = jnp.where(alpha_valid, sf, 0.0)
+            if p.alpha_func_id == 0:
+                acc_alpha[:] = jnp.maximum(
+                    acc_alpha[:],
+                    jnp.max((alpha_valid & (sf > 0.5)).astype(jnp.float32), -1))
+            elif p.alpha_func_id == 1:
+                acc_alpha[:] = acc_alpha[:] + jnp.sum(sf_a, axis=-1)
+            else:
+                x = 1.0 - sf_a
+                while x.shape[-1] > 1:
+                    h = x.shape[-1] // 2
+                    x = x[..., :h] * x[..., h:]
+                acc_alpha[:] = acc_alpha[:] * x[..., 0]
+
+            side_ok = (front[:, 0][None, None, :] > 0.5) if not p.fill_back else None
+
+            if p.rgb_func_id == 1:
+                rgb_valid = tk_valid if p.fill_back else (tk_valid & side_ok)
+                zpn = (p.far - zp) / (p.far - p.near)
+                zpn_m = jnp.where(rgb_valid, zpn, -jnp.inf)
+                M_blk = jnp.max(zpn_m, axis=-1)
+                M_new = jnp.maximum(acc_max[:], M_blk)
+                rescale = jnp.exp((acc_max[:] - M_new) / p.gamma_val)
+                expz = jnp.where(rgb_valid,
+                                 jnp.exp((zpn - M_new[..., None]) / p.gamma_val) * sf,
+                                 0.0)
+                acc_sum[:] = acc_sum[:] * rescale + jnp.sum(expz, axis=-1)
+                colors = _pair_colors(tex, terms, p, T, perspective=True,
+                                      layout='px_f')
+                for k in range(3):
+                    acc_num[k] = acc_num[k] * rescale + \
+                        jnp.sum(expz * colors[k], axis=-1)
+                acc_max[:] = M_new
+            elif p.rgb_func_id == 0:
+                hard_valid = tk_valid & terms['inside'] if p.fill_back else (
+                    tk_valid & terms['inside'] & side_ok)
+                zkey = jnp.where(hard_valid, zp, BIG_DEPTH)
+                blk_min = jnp.min(zkey, axis=-1)
+                blk_arg = jnp.argmin(zkey, axis=-1)
+                onehot = (jax.lax.broadcasted_iota(jnp.int32, zkey.shape, 2) ==
+                          blk_arg[..., None]).astype(jnp.float32)
+                colors = _pair_colors(tex, terms, p, T, perspective=True,
+                                      layout='px_f')
+                id_sel = jnp.sum(onehot * ids[:, 0][None, None, :].astype(jnp.float32),
+                                 axis=-1)
+                upd = blk_min < acc_dmin[:]
+                for k in range(3):
+                    c_sel = jnp.sum(onehot * colors[k], axis=-1)
+                    acc_num[k] = jnp.where(upd, c_sel, acc_num[k])
+                acc_did[:] = jnp.where(upd, id_sel.astype(jnp.int32), acc_did[:])
+                acc_dmin[:] = jnp.where(upd, blk_min, acc_dmin[:])
+
+        @pl.when(last_s[i] == 1)
+        def _fin():
+            if p.alpha_func_id == 0:
+                alpha = acc_alpha[:]
+            elif p.alpha_func_id == 1:
+                alpha = acc_alpha[:] / F_total
+            else:
+                alpha = 1.0 - acc_alpha[:]
+            if p.rgb_func_id == 1:
+                ssum = acc_sum[:]
+                for k in range(3):
+                    out_ref[0, k, 0] = acc_num[k] / ssum
+                aggrs_ref[0, 0, 0] = ssum
+                aggrs_ref[0, 1, 0] = acc_max[:]
+            elif p.rgb_func_id == 0:
+                for k in range(3):
+                    out_ref[0, k, 0] = acc_num[k]
+                aggrs_ref[0, 0, 0] = acc_dmin[:]
+                aggrs_ref[0, 1, 0] = acc_did[:].astype(jnp.float32)
+            else:
+                for k in range(3):
+                    out_ref[0, k, 0] = jnp.full((ph, pw), bg[k], jnp.float32)
+                aggrs_ref[0, 0, 0] = jnp.zeros((ph, pw), jnp.float32)
+                aggrs_ref[0, 1, 0] = jnp.zeros((ph, pw), jnp.float32)
+            out_ref[0, 3, 0] = alpha
+
+    return kernel
+
+
+def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
+    is_ = p.image_size
+    ph = pw = PF_TILE
+
+    def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
+               ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref, tex_ref,
+               sc_ref, ag_ref, go_ref,
+               gface_ref, gtex_ref):
+        i = pl.program_id(0)
+        ty = ty_s[i]
+        tx = tx_s[i]
+
+        @pl.when(act_s[i] == 1)
+        def _body():
+            rows = (ty * ph + jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+                    ).astype(jnp.float32)
+            cols = (tx * pw + jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
+                    ).astype(jnp.float32)
+            xp = (2.0 * cols + 1.0 - is_) / is_
+            yp = (is_ - 1.0 - 2.0 * rows) / is_
+
+            face = face_ref[0]
+            inv = inv_ref[0]
+            sym = sym_ref[0]
+            obt = obt_ref[0]
+            tex = tex_ref[0]
+            ids = ids_ref[0]                        # [FB,1]
+
+            terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p,
+                                       layout='px_f')
+            sf_fwd = terms['sf']
+            zp = terms['zp']
+            wc = terms['wc']
+            w = terms['w']
+
+            sf = jnp.ones_like(sf_fwd) if p.dist_func_id == 0 else sf_fwd
+            valid = (ids[:, 0] >= 0)[None, None, :] & terms['tk_valid']
+            vf = valid.astype(jnp.float32)
+
+            g_rgb = [go_ref[0, k, 0][..., None] for k in range(3)]  # [ph,pw,1]
+            g_alpha = go_ref[0, 3, 0][..., None]
+            out_rgb = [sc_ref[0, k, 0][..., None] for k in range(3)]
+            out_alpha = sc_ref[0, 3, 0][..., None]
+
+            if p.alpha_func_id == 0:
+                C_grad_xy = jnp.zeros_like(sf)
+            elif p.alpha_func_id == 1:
+                C_grad_xy = jnp.broadcast_to(g_alpha / F_total, sf.shape)
+            else:
+                C_grad_xy = g_alpha * (1.0 - out_alpha) / jnp.maximum(1.0 - sf, 1e-6)
+
+            gz = [jnp.zeros_like(sf) for _ in range(3)]
+            if p.rgb_func_id == 1:
+                softmax_sum = ag_ref[0, 0, 0][..., None]
+                softmax_max = ag_ref[0, 1, 0][..., None]
+                zpn = (p.far - zp) / (p.far - p.near)
+                e_arg = jnp.where(valid, (zpn - softmax_max) / p.gamma_val, -1e30)
+                zp_softmax = sf * jnp.exp(e_arg) / softmax_sum
+
+                colors = _pair_colors(tex, terms, p, T, perspective=False,
+                                      layout='px_f')
+                C_grad_xyz = (g_rgb[0] * (colors[0] - out_rgb[0]) +
+                              g_rgb[1] * (colors[1] - out_rgb[1]) +
+                              g_rgb[2] * (colors[2] - out_rgb[2])) * zp_softmax
+                C_grad_xy = C_grad_xy + C_grad_xyz / jnp.maximum(sf, 1e-30)
+
+                C_grad_z = C_grad_xyz / p.gamma_val / (p.near - p.far) * zp * zp
+                invz = terms['invz']
+                for k in range(3):
+                    gz[k] = C_grad_z * wc[k] * (invz[k] * invz[k])
+                tex_coef = zp_softmax
+            elif p.rgb_func_id == 0:
+                fidx_min = ag_ref[0, 1, 0][..., None]
+                is_win = vf * (jnp.abs(ids[:, 0][None, None, :].astype(jnp.float32) -
+                                       fidx_min) < 0.5)
+                tex_coef = is_win
+            else:
+                tex_coef = jnp.zeros_like(sf)
+
+            def red(x):
+                # [ph, pw, FB] -> [1, FB] (sum over the pixel tile)
+                return jnp.sum(jnp.sum(x, axis=0), axis=0)[None, :]
+
+            if p.texture_type_id == 0:
+                R = int(math.sqrt(T))
+                idx = _surface_tex_idx(wc, R)
+                gk = [tex_coef * g_rgb[k] for k in range(3)]
+                for ti in range(T):
+                    sel = (idx == ti).astype(jnp.float32)
+                    for k in range(3):
+                        gtex_ref[0, ti * 3 + k:ti * 3 + k + 1, :] = red(sel * gk[k])
+            else:
+                for ci in range(3):
+                    coef = tex_coef * wc[ci]
+                    for k in range(3):
+                        gtex_ref[0, ci * 3 + k:ci * 3 + k + 1, :] = \
+                            red(coef * g_rgb[k])
+
+            C_grad_xy = C_grad_xy * sf * (1.0 - sf) / p.sigma_val
+            C_grad_xy = C_grad_xy * vf
+
+            gx = [jnp.zeros_like(sf) for _ in range(3)]
+            gy = [jnp.zeros_like(sf) for _ in range(3)]
+            if p.dist_func_id == 1:
+                t = terms['t']
+                pmin = jnp.where(t[0] > t[1],
+                                 jnp.where(t[1] > t[2], 2, 1),
+                                 jnp.where(t[0] > t[2], 2, 0))
+                mn = jnp.minimum(jnp.minimum(w[0], w[1]), w[2])
+                scale = 2.0 * jnp.sqrt(mn * mn)
+                C = C_grad_xy * scale
+                for l in range(2):
+                    inv_p = jnp.where(pmin == 0, inv[:, 0 + l][None, None, :],
+                                      jnp.where(pmin == 1, inv[:, 3 + l][None, None, :],
+                                                inv[:, 6 + l][None, None, :]))
+                    for k in range(3):
+                        gv = -inv_p * w[k] * C
+                        if l == 0:
+                            gx[k] = gv
+                        else:
+                            gy[k] = gv
+            elif p.dist_func_id == 2:
+                sign = terms['sign']
+                dis_x = jnp.where(valid, terms['dis_x'], 0.0)
+                dis_y = jnp.where(valid, terms['dis_y'], 0.0)
+                t = terms['t']
+                C2 = 2.0 * sign * C_grad_xy
+                for k in range(3):
+                    tau = jnp.where(valid, t[k] + w[k], 0.0)
+                    gx[k] = C2 * tau * dis_x
+                    gy[k] = C2 * tau * dis_y
+
+            for k in range(3):
+                gface_ref[0, 3 * k:3 * k + 1, :] = red(gx[k])
+                gface_ref[0, 3 * k + 1:3 * k + 2, :] = red(gy[k])
+                gface_ref[0, 3 * k + 2:3 * k + 3, :] = \
+                    red(jnp.where(valid, gz[k], 0.0))
+
+    return kernel
+
+
+def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
+    """Pre-pass for the px_f layout: 8x8-pixel tiles, empty tiles skipped."""
+    B, F = face_vertices.shape[:2]
+    face = face_vertices.reshape(B, F, 9)
+    T = textures.shape[2] if p.texture_type_id == 0 else 3
+    tex = textures.reshape(B, F, T * 3)
+
+    face_inv, face_sym, face_obt = G.face_info_preprocess(face)
+    front = G.check_face_frontside(face).astype(jnp.float32)[..., None]
+
+    is_ = p.image_size
+    t = PF_TILE
+    TY = TX = is_ // t
+    NT = TY * TX
+    FB = PF_FB
+    lists = build_tile_lists(face, is_, t, t, cap, p.threshold)
+    work = build_work_list(lists.counts, cap, FB, w_cap, skip_empty=True)
+
+    total = work.num_items
+    last_real = jnp.maximum(total - 1, 0)
+    in_range = jnp.arange(w_cap, dtype=jnp.int32) < total
+    tile = jnp.where(in_range, work.tile, work.tile[last_real])
+    chunk = jnp.where(in_range, work.chunk, 0)
+    first = jnp.where(in_range, work.first, 0)
+    last = jnp.where(in_range, work.last, 0)
+
+    ids_flat = lists.ids.reshape(B * NT * cap)
+    slot = tile[:, None] * cap + chunk[:, None] * FB + \
+        jnp.arange(FB, dtype=jnp.int32)[None, :]
+    ids_w = ids_flat[slot]
+    ids_w = jnp.where(in_range[:, None], ids_w, -1)
+
+    b_of = tile // NT
+    fid_safe = jnp.maximum(ids_w, 0)
+    gidx = b_of[:, None] * F + fid_safe
+
+    def g(a):
+        return a.reshape((B * F,) + a.shape[2:])[gidx]
+
+    g_face = jnp.where((ids_w < 0)[..., None], SENTINEL, g(face))
+    g_inv, g_sym, g_obt, g_front, g_tex = g(face_inv), g(face_sym), g(face_obt), \
+        g(front), g(tex)
+
+    t_in_b = tile - b_of * NT
+    out_ty = t_in_b // TX
+    out_tx = t_in_b - out_ty * TX
+    active = in_range.astype(jnp.int32)
+
+    covered = (lists.counts > 0).reshape(B, TY, TX)
+    return (ids_w[..., None].astype(jnp.int32), g_face, g_inv, g_sym, g_obt,
+            g_front, g_tex, b_of, out_ty, out_tx, first, last, active,
+            lists, covered, T)
+
+
+def _work_cap_pf(F: int, n_tiles: int, B: int) -> int:
+    # most covered tiles need 1 chunk of 128; skew margin via 6x avg pairs
+    est = B * min(n_tiles, (6 * F) // PF_FB + n_tiles // 4) + 64
+    return max(64, est)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
+    B, F = face_vertices.shape[:2]
+    is_ = p.image_size
+    t = PF_TILE
+    assert is_ % t == 0
+    TY = TX = is_ // t
+    cap = max(PF_FB, min(F, 2048))
+    cap = (cap + PF_FB - 1) // PF_FB * PF_FB
+    w_cap = _work_cap_pf(F, TY * TX, B)
+
+    (ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
+     out_b, out_ty, out_tx, first, last, active, lists, covered, T) = \
+        _prep_work_data_pf(face_vertices, textures, p, cap, w_cap)
+
+    FB = PF_FB
+    kernel = _make_fwd_kernel_pf(p, T, F)
+
+    def in_spec(c):
+        return pl.BlockSpec((1, FB, c),
+                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    # Mosaic wants trailing block dims of (8k, 128) or the full array
+    # dims; emit per-tile [B, C, NT, t, t] blocks and reassemble in XLA.
+    NT = TY * TX
+    out_specs = [
+        pl.BlockSpec((1, 4, 1, t, t),
+                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
+                     (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, 1, t, t),
+                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
+                     (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, 4, NT, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((B, 2, NT, t, t), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((3, t, t), jnp.float32),
+        pltpu.VMEM((t, t), jnp.float32),
+        pltpu.VMEM((t, t), jnp.float32),
+        pltpu.VMEM((t, t), jnp.float32),
+        pltpu.VMEM((t, t), jnp.float32),
+        pltpu.VMEM((t, t), jnp.int32),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(w_cap,),
+        in_specs=[in_spec(1), in_spec(9), in_spec(9), in_spec(9), in_spec(3),
+                  in_spec(1), in_spec(g_tex.shape[-1])],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+
+    out_t, aggrs_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=not _is_tpu(),
+    )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
+      g_obt, g_front, g_tex)
+
+    def untile(x):
+        C = x.shape[1]
+        return x.reshape(B, C, TY, TX, t, t).transpose(0, 1, 2, 4, 3, 5)                 .reshape(B, C, is_, is_)
+
+    out = untile(out_t)
+    aggrs = untile(aggrs_t)
+    # uncovered tiles were never visited -> fill with the empty-pixel values
+    mask = jnp.repeat(jnp.repeat(covered, t, axis=1), t, axis=2)[:, None]
+    bg = jnp.asarray(p.background_color + (0.0,), jnp.float32)
+    if p.alpha_func_id == 2:
+        bg = bg.at[3].set(0.0)
+    out = jnp.where(mask, out, bg[None, :, None, None])
+    if p.rgb_func_id == 1:
+        ag_init = jnp.asarray([1.0, p.eps], jnp.float32)
+    else:
+        ag_init = jnp.asarray([BIG_DEPTH, -1.0], jnp.float32)
+    aggrs = jnp.where(mask, aggrs, ag_init[None, :, None, None])
+    return out, aggrs, lists.ids
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
+                                 aggrs_info, tile_ids, grad_soft_colors,
+                                 p: SoftRasParams):
+    B, F = face_vertices.shape[:2]
+    is_ = p.image_size
+    t = PF_TILE
+    TY = TX = is_ // t
+    cap = max(PF_FB, min(F, 2048))
+    cap = (cap + PF_FB - 1) // PF_FB * PF_FB
+    w_cap = _work_cap_pf(F, TY * TX, B)
+
+    (ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
+     out_b, out_ty, out_tx, first, last, active, lists, covered, T) = \
+        _prep_work_data_pf(face_vertices, textures, p, cap, w_cap)
+
+    FB = PF_FB
+    kernel = _make_bwd_kernel_pf(p, T, F)
+
+    def in_spec(c):
+        return pl.BlockSpec((1, FB, c),
+                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    NT = TY * TX
+
+    def px_spec(c):
+        return pl.BlockSpec((1, c, 1, t, t),
+                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
+                            (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_px(x):
+        C = x.shape[1]
+        return x.reshape(B, C, TY, t, TX, t).transpose(0, 1, 2, 4, 3, 5)                 .reshape(B, C, NT, t, t)
+
+    soft_colors = tile_px(soft_colors)
+    aggrs_info = tile_px(aggrs_info)
+    grad_soft_colors = tile_px(grad_soft_colors)
+
+    out_specs = [
+        pl.BlockSpec((1, 9, FB),
+                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T * 3, FB),
+                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((w_cap, 9, FB), jnp.float32),
+        jax.ShapeDtypeStruct((w_cap, T * 3, FB), jnp.float32),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(w_cap,),
+        in_specs=[in_spec(1), in_spec(9), in_spec(9), in_spec(9), in_spec(3),
+                  in_spec(1), in_spec(g_tex.shape[-1]),
+                  px_spec(4), px_spec(2), px_spec(4)],
+        out_specs=out_specs,
+        scratch_shapes=[],
+    )
+
+    gface_slots, gtex_slots = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=not _is_tpu(),
+    )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
+      g_obt, g_front, g_tex, soft_colors, aggrs_info, grad_soft_colors)
+
+    ids_w = ids[..., 0]                                          # [W, FB]
+    seg = jnp.where(ids_w >= 0, out_b[:, None] * F + ids_w, B * F)
+    gface_t = jnp.transpose(gface_slots, (0, 2, 1))              # [W, FB, 9]
+    gtex_t = jnp.transpose(gtex_slots, (0, 2, 1))                # [W, FB, T*3]
+    # padding/inactive items hold garbage VMEM: zero them before the sum
+    act = (active > 0)[:, None, None]
+    gface_t = jnp.where(act, gface_t, 0.0)
+    gtex_t = jnp.where(act, gtex_t, 0.0)
+    gf = jax.ops.segment_sum(gface_t.reshape(-1, 9), seg.reshape(-1),
+                             num_segments=B * F + 1)[:-1]
+    gt = jax.ops.segment_sum(gtex_t.reshape(-1, T * 3), seg.reshape(-1),
+                             num_segments=B * F + 1)[:-1]
+    return (gf.reshape(face_vertices.shape), gt.reshape(textures.shape))
