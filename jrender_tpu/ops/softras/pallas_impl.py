@@ -153,22 +153,25 @@ def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams,
     sublanes, FACES on lanes -- the lane-efficient layout for small
     faces, since a face's bbox rarely spans a 128-pixel-wide tile)."""
     if layout == 'f_px':
-        def b(v):
-            return v[:, None, None]
+        # face/inv/sym/obt: [FB, C]; pair arrays [FB, th, tw]
+        def comp(a, i):
+            return a[:, i][:, None, None]
         xpb = xp[None, :, :]
         ypb = yp[None, :, :]
     else:
-        def b(v):
-            return v[None, None, :]
+        # face/inv/sym/obt pre-transposed to [C, FB]; pair arrays
+        # [ph, pw, FB] -- row slices stay 2-D (Mosaic: no 1-D vectors)
+        def comp(a, i):
+            return a[i:i + 1, :][None]
         xpb = xp[..., None]
         ypb = yp[..., None]
 
-    fx = (b(face[:, 0]), b(face[:, 3]), b(face[:, 6]))
-    fy = (b(face[:, 1]), b(face[:, 4]), b(face[:, 7]))
-    fz = (b(face[:, 2]), b(face[:, 5]), b(face[:, 8]))
+    fx = (comp(face, 0), comp(face, 3), comp(face, 6))
+    fy = (comp(face, 1), comp(face, 4), comp(face, 7))
+    fz = (comp(face, 2), comp(face, 5), comp(face, 8))
 
-    w = tuple(b(inv[:, 3 * k + 0]) * xpb + b(inv[:, 3 * k + 1]) * ypb + b(inv[:, 3 * k + 2])
-              for k in range(3))
+    w = tuple(comp(inv, 3 * k + 0) * xpb + comp(inv, 3 * k + 1) * ypb +
+              comp(inv, 3 * k + 2) for k in range(3))
 
     thr = p.threshold
     sq = math.sqrt(thr)
@@ -193,8 +196,8 @@ def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams,
         sf = jax.nn.sigmoid(dis / p.sigma_val)
         t = w
     else:
-        sym9 = [b(sym[:, j]) for j in range(9)]
-        obt3 = [b(obt[:, j]) for j in range(3)]
+        sym9 = [comp(sym, j) for j in range(9)]
+        obt3 = [comp(obt, j) for j in range(3)]
         sign, dis_x, dis_y, t = _euclid_kernel(w, fx, fy, sym9, obt3, xpb, ypb)
         dis = dis_x * dis_x + dis_y * dis_y
         dist_valid = ~((sign < 0) & (dis >= thr))
@@ -234,11 +237,11 @@ def _pair_colors(tex, terms, p: SoftRasParams, T: int, perspective=True,
                  layout='f_px'):
     """Per-pair rgb colors (3-tuple of pair arrays).  tex: [FB, T*3]."""
     if layout == 'f_px':
-        def bt(col):
-            return col[:, None, None]
+        def bt(a, i):
+            return a[:, i][:, None, None]
     else:
-        def bt(col):
-            return col[None, None, :]
+        def bt(a, i):
+            return a[i:i + 1, :][None]
     wc = terms['wc']
     if p.texture_type_id == 0:
         R = int(math.sqrt(T))
@@ -248,22 +251,22 @@ def _pair_colors(tex, terms, p: SoftRasParams, T: int, perspective=True,
             acc = jnp.zeros_like(wc[0])
             for ti in range(T):
                 sel = (idx == ti).astype(jnp.float32)
-                acc = acc + sel * bt(tex[:, ti * 3 + k])
+                acc = acc + sel * bt(tex, ti * 3 + k)
             cols.append(acc)
         return tuple(cols)
-    # vertex colors: tex [FB, 9] per-corner rgb
+    # vertex colors: tex [FB, 9] (f_px) / [9, FB] (px_f) per-corner rgb
     invz = terms['invz']
     zp = terms['zp']
     cols = []
     for k in range(3):
         if perspective:
-            c = (wc[0] * invz[0] * bt(tex[:, k]) +
-                 wc[1] * invz[1] * bt(tex[:, 3 + k]) +
-                 wc[2] * invz[2] * bt(tex[:, 6 + k])) * zp
+            c = (wc[0] * invz[0] * bt(tex, k) +
+                 wc[1] * invz[1] * bt(tex, 3 + k) +
+                 wc[2] * invz[2] * bt(tex, 6 + k)) * zp
         else:
-            c = (wc[0] * bt(tex[:, k]) +
-                 wc[1] * bt(tex[:, 3 + k]) +
-                 wc[2] * bt(tex[:, 6 + k]))
+            c = (wc[0] * bt(tex, k) +
+                 wc[1] * bt(tex, 3 + k) +
+                 wc[2] * bt(tex, 6 + k))
         cols.append(c)
     return tuple(cols)
 
@@ -619,7 +622,7 @@ def soft_rasterize_bwd_pallas(face_vertices, textures, soft_colors, aggrs_info,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=not _is_tpu(),
     )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
       g_obt, g_front, g_tex, soft_colors, aggrs_info, grad_soft_colors)
@@ -770,7 +773,7 @@ def soft_rasterize_fwd_pallas(face_vertices, textures, p: SoftRasParams):
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=not _is_tpu(),
     )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
       g_obt, g_front, g_tex)
@@ -832,9 +835,9 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
             inv = inv_ref[0]
             sym = sym_ref[0]
             obt = obt_ref[0]
-            front = front_ref[0]
-            tex = tex_ref[0]
-            ids = ids_ref[0]                       # [FB,1]
+            front = front_ref[0]                   # [1, FB]
+            tex = tex_ref[0]                       # [T*3, FB]
+            ids = ids_ref[0]                       # [1, FB]
 
             terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p,
                                        layout='px_f')
@@ -857,7 +860,7 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
                     x = x[..., :h] * x[..., h:]
                 acc_alpha[:] = acc_alpha[:] * x[..., 0]
 
-            side_ok = (front[:, 0][None, None, :] > 0.5) if not p.fill_back else None
+            side_ok = (front[0:1, :][None] > 0.5) if not p.fill_back else None
 
             if p.rgb_func_id == 1:
                 rgb_valid = tk_valid if p.fill_back else (tk_valid & side_ok)
@@ -886,7 +889,7 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
                           blk_arg[..., None]).astype(jnp.float32)
                 colors = _pair_colors(tex, terms, p, T, perspective=True,
                                       layout='px_f')
-                id_sel = jnp.sum(onehot * ids[:, 0][None, None, :].astype(jnp.float32),
+                id_sel = jnp.sum(onehot * ids[0:1, :][None].astype(jnp.float32),
                                  axis=-1)
                 upd = blk_min < acc_dmin[:]
                 for k in range(3):
@@ -949,8 +952,8 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
             inv = inv_ref[0]
             sym = sym_ref[0]
             obt = obt_ref[0]
-            tex = tex_ref[0]
-            ids = ids_ref[0]                        # [FB,1]
+            tex = tex_ref[0]                        # [T*3, FB]
+            ids = ids_ref[0]                        # [1, FB]
 
             terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p,
                                        layout='px_f')
@@ -960,7 +963,7 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
             w = terms['w']
 
             sf = jnp.ones_like(sf_fwd) if p.dist_func_id == 0 else sf_fwd
-            valid = (ids[:, 0] >= 0)[None, None, :] & terms['tk_valid']
+            valid = (ids[0:1, :][None] >= 0) & terms['tk_valid']
             vf = valid.astype(jnp.float32)
 
             g_rgb = [go_ref[0, k, 0][..., None] for k in range(3)]  # [ph,pw,1]
@@ -997,15 +1000,16 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
                 tex_coef = zp_softmax
             elif p.rgb_func_id == 0:
                 fidx_min = ag_ref[0, 1, 0][..., None]
-                is_win = vf * (jnp.abs(ids[:, 0][None, None, :].astype(jnp.float32) -
+                is_win = vf * (jnp.abs(ids[0:1, :][None].astype(jnp.float32) -
                                        fidx_min) < 0.5)
                 tex_coef = is_win
             else:
                 tex_coef = jnp.zeros_like(sf)
 
             def red(x):
-                # [ph, pw, FB] -> [1, FB] (sum over the pixel tile)
-                return jnp.sum(jnp.sum(x, axis=0), axis=0)[None, :]
+                # [ph, pw, FB] -> [1, FB] (sum over the pixel tile);
+                # stay >=2-D throughout (Mosaic: no implicit output dims)
+                return jnp.sum(jnp.sum(x, axis=0), axis=0, keepdims=True)
 
             if p.texture_type_id == 0:
                 R = int(math.sqrt(T))
@@ -1036,9 +1040,10 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
                 scale = 2.0 * jnp.sqrt(mn * mn)
                 C = C_grad_xy * scale
                 for l in range(2):
-                    inv_p = jnp.where(pmin == 0, inv[:, 0 + l][None, None, :],
-                                      jnp.where(pmin == 1, inv[:, 3 + l][None, None, :],
-                                                inv[:, 6 + l][None, None, :]))
+                    inv_p = jnp.where(
+                        pmin == 0, inv[0 + l:1 + l, :][None],
+                        jnp.where(pmin == 1, inv[3 + l:4 + l, :][None],
+                                  inv[6 + l:7 + l, :][None]))
                     for k in range(3):
                         gv = -inv_p * w[k] * C
                         if l == 0:
@@ -1104,9 +1109,13 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
     def g(a):
         return a.reshape((B * F,) + a.shape[2:])[gidx]
 
-    g_face = jnp.where((ids_w < 0)[..., None], SENTINEL, g(face))
-    g_inv, g_sym, g_obt, g_front, g_tex = g(face_inv), g(face_sym), g(face_obt), \
-        g(front), g(tex)
+    def tr(a):
+        # [W, FB, C] -> [W, C, FB]: lanes carry faces inside the kernel
+        return jnp.swapaxes(a, 1, 2)
+
+    g_face = tr(jnp.where((ids_w < 0)[..., None], SENTINEL, g(face)))
+    g_inv, g_sym, g_obt, g_front, g_tex = tr(g(face_inv)), tr(g(face_sym)), \
+        tr(g(face_obt)), tr(g(front)), tr(g(tex))
 
     t_in_b = tile - b_of * NT
     out_ty = t_in_b // TX
@@ -1114,7 +1123,7 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
     active = in_range.astype(jnp.int32)
 
     covered = (lists.counts > 0).reshape(B, TY, TX)
-    return (ids_w[..., None].astype(jnp.int32), g_face, g_inv, g_sym, g_obt,
+    return (ids_w[:, None, :].astype(jnp.int32), g_face, g_inv, g_sym, g_obt,
             g_front, g_tex, b_of, out_ty, out_tx, first, last, active,
             lists, covered, T)
 
@@ -1144,7 +1153,7 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
     kernel = _make_fwd_kernel_pf(p, T, F)
 
     def in_spec(c):
-        return pl.BlockSpec((1, FB, c),
+        return pl.BlockSpec((1, c, FB),
                             lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -1187,7 +1196,7 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=not _is_tpu(),
     )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
       g_obt, g_front, g_tex)
@@ -1232,7 +1241,7 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
     kernel = _make_bwd_kernel_pf(p, T, F)
 
     def in_spec(c):
-        return pl.BlockSpec((1, FB, c),
+        return pl.BlockSpec((1, c, FB),
                             lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -1279,12 +1288,12 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=not _is_tpu(),
     )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
       g_obt, g_front, g_tex, soft_colors, aggrs_info, grad_soft_colors)
 
-    ids_w = ids[..., 0]                                          # [W, FB]
+    ids_w = ids[:, 0, :]                                         # [W, FB]
     seg = jnp.where(ids_w >= 0, out_b[:, None] * F + ids_w, B * F)
     gface_t = jnp.transpose(gface_slots, (0, 2, 1))              # [W, FB, 9]
     gtex_t = jnp.transpose(gtex_slots, (0, 2, 1))                # [W, FB, T*3]
