@@ -26,7 +26,7 @@ import numpy as np
 import optax
 
 from . import dataset
-from .model import get_embedder, init_nerf_params, nerf_apply, img2mse, mse2psnr, to8b
+from .model import get_embedder, init_nerf_params, nerf_apply, img2mse, mse2psnr, to8b  # noqa: F401
 from ..vol import render_pass
 from ..vol.camera import pinhole_get_rays
 
@@ -139,22 +139,38 @@ def restore_checkpoint(path, params, opt_state):
 
 
 def render_full_image(H, W, focal, c2w, params, render_kwargs, chunk=1024 * 32,
-                      intrinsic=None, near=None, far=None):
+                      intrinsic=None, near=2.0, far=6.0, ndc=False):
     kwargs = dict(render_kwargs)
     nq = kwargs.pop('network_query_fn')
-
-    def query_c(pts, viewdirs, net):
-        return nq(pts, viewdirs, net)
-
+    kwargs.pop('ndc', None)
     rgb, disp, acc, _ = render_pass.render(
-        H, W, focal, chunk=chunk, c2w=c2w[:3, :4], intrinsic=intrinsic,
+        H, W, focal, chunk=chunk, c2w=jnp.asarray(c2w)[:3, :4],
+        intrinsic=intrinsic, ndc=ndc,
         network_fn=params['coarse'],
         network_fine=params.get('fine'),
-        network_query_fn=query_c,
-        near=kwargs.pop('near', near if near is not None else 2.0),
-        far=kwargs.pop('far', far if far is not None else 6.0),
-        **kwargs)
+        network_query_fn=nq,
+        near=near, far=far, **kwargs)
     return rgb, disp, acc
+
+
+def render_path(poses, hwf, params, render_kwargs, chunk=1024 * 32,
+                near=2.0, far=6.0, ndc=False, render_factor=0, savedir=None):
+    """Render a pose path (spiral video / testset; demo7-nerf.py:604-647)."""
+    from .model import to8b
+    H, W, focal = int(hwf[0]), int(hwf[1]), hwf[2]
+    if render_factor > 0:
+        H, W, focal = H // render_factor, W // render_factor, focal / render_factor
+    rgbs = []
+    for i, c2w in enumerate(poses):
+        rgb, disp, acc = render_full_image(H, W, focal, c2w, params,
+                                           render_kwargs, chunk, near=near,
+                                           far=far, ndc=ndc)
+        frame = to8b(np.asarray(rgb))
+        rgbs.append(frame)
+        if savedir is not None:
+            import imageio.v2 as imageio
+            imageio.imwrite(os.path.join(savedir, f'{i:03d}.png'), frame)
+    return np.stack(rgbs, 0)
 
 
 def make_train_step(optimizer, render_kwargs, H, W, focal, near, far,
@@ -334,5 +350,36 @@ def train(args):
             os.makedirs(ckpt_dir, exist_ok=True)
             path = save_checkpoint(ckpt_dir, global_step, params, opt_state)
             print('Saved checkpoints at', path)
+
+        if args.i_img > 0 and global_step % args.i_img < spd and len(i_val) > 0:
+            vi = int(i_val[0])
+            rgb, _, _ = render_full_image(H, W, focal, poses_d[vi], params,
+                                          render_kwargs_test, args.chunk,
+                                          near=near, far=far, ndc=ndc)
+            mse = float(img2mse(rgb, images_d[vi]))
+            print(f'[VAL] Iter: {global_step} PSNR: '
+                  f'{float(mse2psnr(jnp.asarray(mse))):.3f}', flush=True)
+
+        if args.i_video > 0 and global_step % args.i_video < spd and \
+                global_step >= args.i_video:
+            import imageio.v2 as imageio
+            rgbs = render_path(render_poses[:, :3, :4], (H, W, focal), params,
+                               render_kwargs_test, args.chunk, near=near,
+                               far=far, ndc=ndc,
+                               render_factor=max(args.render_factor, 1) * 2)
+            moviebase = os.path.join(
+                expdir, f'{args.expname}_spiral_{global_step:06d}_rgb.mp4')
+            imageio.mimwrite(moviebase, rgbs, fps=30, quality=8)
+            print('Saved video', moviebase)
+
+        if args.i_testset > 0 and global_step % args.i_testset < spd and \
+                global_step >= args.i_testset and len(i_test) > 0:
+            testsavedir = os.path.join(expdir, f'testset_{global_step:06d}')
+            os.makedirs(testsavedir, exist_ok=True)
+            render_path(poses_d[np.asarray(i_test)][:, :3, :4], (H, W, focal),
+                        params, render_kwargs_test, args.chunk, near=near,
+                        far=far, ndc=ndc, savedir=testsavedir,
+                        render_factor=max(args.render_factor, 1) * 2)
+            print('Saved test set renders to', testsavedir)
 
     return params, opt_state, history

@@ -792,7 +792,7 @@ def soft_rasterize_fwd_pallas(face_vertices, textures, p: SoftRasParams):
 # background by an XLA select after the kernel.
 # ===========================================================================
 
-PF_TILE = 8          # pixel tile is PF_TILE x PF_TILE
+PF_TILE = 16         # pixel tile is PF_TILE x PF_TILE
 PF_FB = 128          # faces per chunk == lane count
 
 
