@@ -49,7 +49,7 @@ def _soft_rasterize_core(face_vertices, textures, p: SoftRasParams, backend: str
 def _forward(face_vertices, textures, p: SoftRasParams, backend: str):
     if backend == 'pallas':
         from . import pallas_impl
-        if pallas_impl.LAYOUT == 'px_f' and p.image_size % pallas_impl.PF_TILE == 0:
+        if pallas_impl.LAYOUT == 'px_f' and pallas_impl._pf_tile_for(p.image_size):
             return pallas_impl.soft_rasterize_fwd_pallas_pf(face_vertices, textures, p)
         return pallas_impl.soft_rasterize_fwd_pallas(face_vertices, textures, p)
     return jax_impl.soft_rasterize_fwd_jax(face_vertices, textures, p)
@@ -59,7 +59,7 @@ def _backward(face_vertices, textures, soft_colors, aggrs, faces_id, g,
               p: SoftRasParams, backend: str):
     if backend == 'pallas':
         from . import pallas_impl
-        if pallas_impl.LAYOUT == 'px_f' and p.image_size % pallas_impl.PF_TILE == 0:
+        if pallas_impl.LAYOUT == 'px_f' and pallas_impl._pf_tile_for(p.image_size):
             return pallas_impl.soft_rasterize_bwd_pallas_pf(
                 face_vertices, textures, soft_colors, aggrs, faces_id, g, p)
         return pallas_impl.soft_rasterize_bwd_pallas(

@@ -792,14 +792,21 @@ def soft_rasterize_fwd_pallas(face_vertices, textures, p: SoftRasParams):
 # background by an XLA select after the kernel.
 # ===========================================================================
 
-PF_TILE = 16         # pixel tile is PF_TILE x PF_TILE
+PF_TILE = 32         # preferred pixel tile edge (adaptive per image size)
 PF_FB = 128          # faces per chunk == lane count
+
+
+def _pf_tile_for(image_size: int) -> int:
+    for t in (PF_TILE, 16, 8):
+        if image_size % t == 0:
+            return t
+    return 0
 
 
 def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
     is_ = p.image_size
     bg = p.background_color
-    ph = pw = PF_TILE
+    ph = pw = _pf_tile_for(is_)
 
     def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
                ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref, tex_ref,
@@ -929,7 +936,7 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
 
 def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
     is_ = p.image_size
-    ph = pw = PF_TILE
+    ph = pw = _pf_tile_for(is_)
 
     def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
                ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref, tex_ref,
@@ -1081,7 +1088,7 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
     front = G.check_face_frontside(face).astype(jnp.float32)[..., None]
 
     is_ = p.image_size
-    t = PF_TILE
+    t = _pf_tile_for(is_)
     TY = TX = is_ // t
     NT = TY * TX
     FB = PF_FB
@@ -1138,8 +1145,8 @@ def _work_cap_pf(F: int, n_tiles: int, B: int) -> int:
 def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
     B, F = face_vertices.shape[:2]
     is_ = p.image_size
-    t = PF_TILE
-    assert is_ % t == 0
+    t = _pf_tile_for(is_)
+    assert t > 0
     TY = TX = is_ // t
     cap = max(PF_FB, min(F, 2048))
     cap = (cap + PF_FB - 1) // PF_FB * PF_FB
@@ -1227,7 +1234,7 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
                                  p: SoftRasParams):
     B, F = face_vertices.shape[:2]
     is_ = p.image_size
-    t = PF_TILE
+    t = _pf_tile_for(is_)
     TY = TX = is_ // t
     cap = max(PF_FB, min(F, 2048))
     cap = (cap + PF_FB - 1) // PF_FB * PF_FB

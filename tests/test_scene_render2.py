@@ -220,3 +220,34 @@ class TestSSR:
                                ssr_faces, width, far=100.0, max_steps=128))
         gained = (out - color)[is_floor]
         assert gained.max() > 0.2  # some floor pixel picked up the red wall
+
+
+class TestSSS:
+    def test_sss_texture_space_diffusion(self):
+        """with_SSS meshes get texture-space blurred lighting baked in:
+        the SSS pipeline (UV rasterize -> stretch maps -> 3 cumulative
+        gaussians -> re-bake) must produce finite per-face textures of the
+        right shape that differ from plain Lambert baking."""
+        import jax.numpy as jnp
+        from jrender_tpu.structures import Mesh
+        from jrender_tpu.lighting import Lighting
+
+        # two triangles with a simple UV atlas
+        verts = np.array([[-0.5, -0.5, 0], [0.5, -0.5, 0], [0.0, 0.5, 0],
+                          [0.6, -0.5, 0], [1.0, 0.5, 0]], np.float32)
+        faces = np.array([[0, 1, 2], [1, 3, 4]], np.int32)
+        uv = np.array([[[0.1, 0.1], [0.45, 0.1], [0.25, 0.45]],
+                       [[0.55, 0.1], [0.9, 0.1], [0.7, 0.45]]], np.float32)
+        R = 4
+        mesh = Mesh(verts, faces, texture_res=R, texture_type='surface',
+                    with_SSS=True, face_texcoords=uv)
+        mesh.textures = jnp.full((1, 2, R * R, 3), 0.6)
+
+        lighting = Lighting(light_mode='surface', intensity_ambient=0.4,
+                            intensity_directionals=0.6, directions=[0, 0, -1])
+        out = lighting(mesh, eyes=[0, 0, -3])
+        tex = np.asarray(out.textures)
+        assert tex.shape == (1, 2, R * R, 3)
+        assert np.isfinite(tex).all()
+        assert tex.min() >= 0.0 and tex.max() <= 1.0
+        assert tex.max() > 0.0  # something was baked
