@@ -60,7 +60,12 @@ def build_tile_lists(face: jnp.ndarray, image_size: int, tile_h: int, tile_w: in
     ty_min = jnp.clip(r_min // tile_h, 0, TY - 1)
     ty_max = jnp.clip(r_max // tile_h, 0, TY - 1)
 
-    if F <= 8192 or n_tiles <= 64:
+    # exact (mask+searchsorted) only when the tile grid is small: its cost
+    # scales with n_tiles*cap binary searches; the sorted-pairs path is
+    # cheaper whenever there are many tiles and handles faces spanning up
+    # to MT tiles (huge backdrop faces need the exact path, which small
+    # tile grids -- the legacy f_px layout -- provide).
+    if n_tiles <= 64:
         # exact path: the [F, n_tiles] overlap mask is small enough; every
         # face lands in every overlapped tile regardless of bbox size.
         tys = jnp.arange(TY, dtype=jnp.int32)
@@ -89,20 +94,32 @@ def build_tile_lists(face: jnp.ndarray, image_size: int, tile_h: int, tile_w: in
     # (tiny faces span 1-4 tiles; MT=64 covers an 8x8-tile bbox; large
     # meshes are made of small faces, which is when this path is chosen).
     MT = 64
+    GBIG = 128   # cap on faces spanning > MT tiles (go into every tile)
     nty = ty_max - ty_min + 1
     ntx = tx_max - tx_min + 1
     ntl = nty * ntx                                               # [B,F]
+    big = (ntl > MT) & ~empty
 
     j = jnp.arange(MT, dtype=jnp.int32)                           # [MT]
     dy = j[None, None, :] // jnp.maximum(ntx, 1)[..., None]
     dx = j[None, None, :] % jnp.maximum(ntx, 1)[..., None]
     pair_tile = (ty_min[..., None] + dy) * TX + (tx_min[..., None] + dx)
-    pair_ok = (j[None, None, :] < jnp.minimum(ntl, MT)[..., None]) & (~empty)[..., None]
+    pair_ok = (j[None, None, :] < jnp.minimum(ntl, MT)[..., None]) & \
+        (~empty)[..., None] & (~big)[..., None]
     pair_tile = jnp.where(pair_ok, pair_tile, n_tiles)            # sort-to-end key
     pair_face = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :, None],
                                  pair_tile.shape)
 
-    def one(tiles_b, faces_b):
+    def one(tiles_b, faces_b, big_b):
+        # faces spanning > MT tiles (large backdrops) are prepended to
+        # EVERY tile's list -- conservative (the kernel's border check
+        # no-ops them where they don't overlap), bounded by GBIG
+        gpos = jnp.cumsum(big_b.astype(jnp.int32)) - 1
+        gcount = jnp.minimum(jnp.sum(big_b.astype(jnp.int32)), GBIG)
+        gdest = jnp.where(big_b & (gpos < GBIG), gpos, GBIG)
+        glist = jnp.full((GBIG + 1,), -1, jnp.int32).at[gdest].set(
+            jnp.arange(F, dtype=jnp.int32), mode='drop')[:GBIG]
+
         tiles_f = tiles_b.reshape(-1)
         faces_f = faces_b.reshape(-1)
         # stable sort by tile keeps faces ascending within each tile
@@ -112,16 +129,19 @@ def build_tile_lists(face: jnp.ndarray, image_size: int, tile_h: int, tile_w: in
                                   side='left').astype(jnp.int32)
         ends = jnp.searchsorted(tiles_s, jnp.arange(1, n_tiles + 1, dtype=jnp.int32),
                                 side='left').astype(jnp.int32)
-        counts_b = ends - starts
+        counts_b = ends - starts + gcount
         rank = jnp.arange(tiles_s.shape[0], dtype=jnp.int32)
-        pos = rank - starts[jnp.minimum(tiles_s, n_tiles - 1)]
+        pos = rank - starts[jnp.minimum(tiles_s, n_tiles - 1)] + gcount
         dest = jnp.where((tiles_s < n_tiles) & (pos < cap),
                          tiles_s * cap + pos, n_tiles * cap)
-        ids_b = jnp.full((n_tiles * cap,), -1, jnp.int32)
+        col = jnp.arange(cap, dtype=jnp.int32)
+        init = jnp.where(col[None, :] < gcount,
+                         glist[jnp.minimum(col, GBIG - 1)][None, :], -1)
+        ids_b = jnp.broadcast_to(init, (n_tiles, cap)).reshape(-1)
         ids_b = ids_b.at[dest].set(faces_s, mode='drop')
         return ids_b.reshape(n_tiles, cap), counts_b
 
-    ids, counts = jax.vmap(one)(pair_tile, pair_face)
+    ids, counts = jax.vmap(one)(pair_tile, pair_face, big)
     return TileLists(ids=ids, counts=counts)
 
 
