@@ -219,3 +219,31 @@ class TestTrainerOverfit:
         psnr_last = float(psnrs[-1])
         assert psnr_last > psnr_first + 3.0, (psnr_first, psnr_last)
         assert psnr_last > 15.0, psnr_last
+
+
+class TestKerasImport:
+    def test_load_weights_from_keras(self):
+        """Keras-layout weight import (utils.py:118-145): transposed-to-our
+        convention matrices land in the right slots."""
+        rng = np.random.RandomState(0)
+        D, W = 2, 16
+        embed, ch = get_embedder(2)
+        embed_d, ch_d = get_embedder(1)
+        net = NeRF(D=D, W=W, input_ch=ch, input_ch_views=ch_d,
+                   use_viewdirs=True, key=jax.random.PRNGKey(0))
+        weights = []
+        for i in range(D):
+            fan_in = ch if i == 0 else W
+            weights += [rng.randn(fan_in, W).astype(np.float32),
+                        rng.randn(W).astype(np.float32)]
+        weights += [rng.randn(W, W).astype(np.float32), rng.randn(W).astype(np.float32)]      # feature
+        weights += [rng.randn(ch_d + W, W // 2).astype(np.float32), rng.randn(W // 2).astype(np.float32)]  # views
+        weights += [rng.randn(W // 2, 3).astype(np.float32), rng.randn(3).astype(np.float32)]  # rgb
+        weights += [rng.randn(W, 1).astype(np.float32), rng.randn(1).astype(np.float32)]      # alpha
+        net.load_weights_from_keras(weights)
+        np.testing.assert_allclose(np.asarray(net.params['pts_linears'][0]['w']),
+                                   weights[0])
+        np.testing.assert_allclose(np.asarray(net.params['alpha_linear']['b']),
+                                   weights[-1])
+        out = net(jnp.ones((3, ch + ch_d)))
+        assert np.isfinite(np.asarray(out)).all()

@@ -87,3 +87,15 @@ def test_save_and_reload_obj(tmp_path, spot_mesh):
                                      dr_type='softras')
     assert v.shape[0] == spot_mesh.num_vertices
     assert f.shape[0] == spot_mesh.num_faces
+
+
+def test_gbuffer_modes(rng):
+    """Renderer Gbuffer debug outputs (lighting.py:178-181)."""
+    verts = rng.uniform(-0.5, 0.5, size=(1, 12, 3)).astype(np.float32)
+    faces = rng.randint(0, 12, size=(1, 8, 3)).astype(np.int32)
+    tex = rng.uniform(size=(1, 8, 4, 3)).astype(np.float32)
+    for mode in ('normal', 'albedo'):
+        renderer = jr.Renderer(dr_type='softras', backend='jax', image_size=32,
+                               Gbuffer=mode)
+        out = renderer(jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(tex))
+        assert np.isfinite(np.asarray(out)).all()
