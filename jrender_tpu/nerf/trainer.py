@@ -327,6 +327,7 @@ def train(args):
     rng = np.random.RandomState(args.seed)
     global_step = start
     t0 = time.time()
+    last_t, last_step = t0, global_step
     history = []
     while global_step < args.N_iters:
         img_idx = jnp.asarray(rng.choice(i_train, size=spd))
@@ -339,8 +340,11 @@ def train(args):
                 global_step >= args.N_iters:
             loss = float(losses[-1])
             psnr = float(psnrs[-1])
-            elapsed = time.time() - t0
-            rate = global_step / max(elapsed, 1e-9)
+            # windowed rate since last print (the first window is dominated
+            # by XLA compile time; later windows show steady-state it/s)
+            now = time.time()
+            rate = (global_step - last_step) / max(now - last_t, 1e-9)
+            last_t, last_step = now, global_step
             print(f'[TRAIN] Iter: {global_step} Loss: {loss:.6f}  PSNR: {psnr:.3f} '
                   f'({rate:.1f} it/s)', flush=True)
             history.append((global_step, loss, psnr))
