@@ -40,13 +40,32 @@ def _rasterize_core(faces, textures, p: N3mrParams):
     return out
 
 
+_BACKEND = 'auto'   # 'auto' | 'pallas' | 'jax'
+
+
+def set_backend(name: str):
+    """Select the z-buffer implementation ('auto' uses Pallas on tileable
+    image sizes, the pure-XLA scan otherwise)."""
+    global _BACKEND
+    assert name in ('auto', 'pallas', 'jax')
+    _BACKEND = name
+
+
 def _forward(faces, textures, p: N3mrParams):
     B = faces.shape[0]
     is_ = p.image_size
     face9 = faces.reshape(B, -1, 9)
 
-    fi, wt, dp, finv = jax.vmap(
-        lambda f: impl.forward_maps_single(f, is_, p.near, p.far))(face9)
+    from ..softras.pallas_impl import _pf_tile_for
+    use_pallas = _BACKEND == 'pallas' or (
+        _BACKEND == 'auto' and _pf_tile_for(is_) > 0)
+    if use_pallas:
+        from . import pallas_impl
+        fi, wt, dp, finv = pallas_impl.forward_maps_pallas(
+            face9, is_, p.near, p.far)
+    else:
+        fi, wt, dp, finv = jax.vmap(
+            lambda f: impl.forward_maps_single(f, is_, p.near, p.far))(face9)
 
     if p.return_rgb:
         rgb, si, sw = jax.vmap(

@@ -90,46 +90,67 @@ def forward_maps_single(face, is_, near, far, face_chunk=512):
     inv_p = jnp.pad(inv, ((0, pad), (0, 0), (0, 0)))
     front_p = jnp.pad(front, (0, pad))
 
-    def chunk_body(carry, inputs):
-        best_z, best_f, best_w = carry
-        fc, invc, frontc, f0 = inputs                      # [C,9],[C,3,3],[C]
-        x0, y0 = fc[:, 0], fc[:, 1]
-        x1, y1 = fc[:, 3], fc[:, 4]
-        x2, y2 = fc[:, 6], fc[:, 7]
-        # inside test in NDC with strict comparisons (rasterize.py:113-116)
-        e0 = (yp[:, None] - y0) * (x1 - x0) < (xp[:, None] - x0) * (y1 - y0)
-        e1 = (yp[:, None] - y1) * (x2 - x1) < (xp[:, None] - x1) * (y2 - y1)
-        e2 = (yp[:, None] - y2) * (x0 - x2) < (xp[:, None] - x2) * (y0 - y2)
-        inside = ~(e0 | e1 | e2) & frontc[None, :]
+    # Bound the [pixel_block, face_chunk, 3] intermediates to ~200MB: at
+    # 1024² an unblocked pass would materialize [1M, 512, 3] f32 (6GB).
+    P = is_ * is_
+    pblk = max(min(P, (1 << 24) // face_chunk), 256)
+    n_pblk = (P + pblk - 1) // pblk
 
-        # w at integer pixel coords (rasterize.py:121-133)
-        w = (invc[None, :, :, 0] * XI[:, None, None] +
-             invc[None, :, :, 1] * YI[:, None, None] + invc[None, :, :, 2])
-        w = jnp.clip(w, 0.0, 1.0)
-        w = w / jnp.sum(w, -1, keepdims=True)
-        zp = 1.0 / (w[..., 0] / fc[None, :, 2] + w[..., 1] / fc[None, :, 5] +
-                    w[..., 2] / fc[None, :, 8])
-        ok = inside & (zp > near) & (zp < far)
-        zkey = jnp.where(ok, zp, jnp.inf)
-
-        arg = jnp.argmin(zkey, axis=1)                     # first min = lowest idx
-        zmin = jnp.take_along_axis(zkey, arg[:, None], 1)[:, 0]
-        wmin = jnp.take_along_axis(w, arg[:, None, None], 1)[:, 0]
-        upd = zmin < best_z
-        best_w = jnp.where(upd[:, None], wmin, best_w)
-        best_f = jnp.where(upd, arg + f0, best_f)
-        best_z = jnp.where(upd, zmin, best_z)
-        return (best_z, best_f, best_w), None
-
-    init = (jnp.full((is_ * is_,), jnp.inf),
-            jnp.full((is_ * is_,), -1, jnp.int32),
-            jnp.zeros((is_ * is_, 3)))
     fcs = face_p.reshape(n_chunks, face_chunk, 9)
     invs = inv_p.reshape(n_chunks, face_chunk, 3, 3)
     fronts = front_p.reshape(n_chunks, face_chunk)
     f0s = jnp.arange(n_chunks, dtype=jnp.int32) * face_chunk
-    (best_z, best_f, best_w), _ = jax.lax.scan(
-        chunk_body, init, (fcs, invs, fronts, f0s))
+
+    def run_block(blk):
+        xp_b, yp_b, XI_b, YI_b = blk                       # [pblk]
+
+        def chunk_body(carry, inputs):
+            best_z, best_f, best_w = carry
+            fc, invc, frontc, f0 = inputs                  # [C,9],[C,3,3],[C]
+            x0, y0 = fc[:, 0], fc[:, 1]
+            x1, y1 = fc[:, 3], fc[:, 4]
+            x2, y2 = fc[:, 6], fc[:, 7]
+            # inside test in NDC with strict comparisons (rasterize.py:113-116)
+            e0 = (yp_b[:, None] - y0) * (x1 - x0) < (xp_b[:, None] - x0) * (y1 - y0)
+            e1 = (yp_b[:, None] - y1) * (x2 - x1) < (xp_b[:, None] - x1) * (y2 - y1)
+            e2 = (yp_b[:, None] - y2) * (x0 - x2) < (xp_b[:, None] - x2) * (y0 - y2)
+            inside = ~(e0 | e1 | e2) & frontc[None, :]
+
+            # w at integer pixel coords (rasterize.py:121-133)
+            w = (invc[None, :, :, 0] * XI_b[:, None, None] +
+                 invc[None, :, :, 1] * YI_b[:, None, None] + invc[None, :, :, 2])
+            w = jnp.clip(w, 0.0, 1.0)
+            w = w / jnp.sum(w, -1, keepdims=True)
+            zp = 1.0 / (w[..., 0] / fc[None, :, 2] + w[..., 1] / fc[None, :, 5] +
+                        w[..., 2] / fc[None, :, 8])
+            ok = inside & (zp > near) & (zp < far)
+            zkey = jnp.where(ok, zp, jnp.inf)
+
+            arg = jnp.argmin(zkey, axis=1)                 # first min = lowest idx
+            zmin = jnp.take_along_axis(zkey, arg[:, None], 1)[:, 0]
+            wmin = jnp.take_along_axis(w, arg[:, None, None], 1)[:, 0]
+            upd = zmin < best_z
+            best_w = jnp.where(upd[:, None], wmin, best_w)
+            best_f = jnp.where(upd, arg + f0, best_f)
+            best_z = jnp.where(upd, zmin, best_z)
+            return (best_z, best_f, best_w), None
+
+        init = (jnp.full((xp_b.shape[0],), jnp.inf),
+                jnp.full((xp_b.shape[0],), -1, jnp.int32),
+                jnp.zeros((xp_b.shape[0], 3)))
+        (bz, bf, bw), _ = jax.lax.scan(chunk_body, init, (fcs, invs, fronts, f0s))
+        return bz, bf, bw
+
+    Pp = n_pblk * pblk
+    def pb(a):
+        return jnp.pad(a, (0, Pp - P)).reshape(n_pblk, pblk)
+    if n_pblk == 1:
+        best_z, best_f, best_w = run_block((xp, yp, XI, YI))
+    else:
+        bz, bf, bw = jax.lax.map(run_block, (pb(xp), pb(yp), pb(XI), pb(YI)))
+        best_z = bz.reshape(Pp)[:P]
+        best_f = bf.reshape(Pp)[:P]
+        best_w = bw.reshape(Pp, 3)[:P]
 
     has = best_f >= 0
     depth = jnp.where(has, best_z, far)

@@ -173,3 +173,57 @@ class TestModuleFacade:
         renderer.transform.set_eyes_from_angles(2.732, 0, 0)
         sil = renderer.render_mesh(mesh, mode='silhouettes')
         assert np.asarray(sil).max() > 0.5
+
+
+class TestPallasMaps:
+    """Pallas z-buffer (interpret mode on CPU) vs the XLA scan path."""
+
+    def _random_faces(self, seed, F):
+        rng = np.random.RandomState(seed)
+        tri = rng.uniform(-0.8, 0.8, size=(1, F, 3, 2)).astype(np.float32)
+        ctr = tri.mean(2, keepdims=True)
+        tri = ctr + (tri - ctr) * 0.35
+        z = rng.uniform(1.5, 3.5, size=(1, F, 3, 1)).astype(np.float32)
+        return jnp.asarray(np.concatenate([tri, z], -1).reshape(1, F, 9))
+
+    @pytest.mark.parametrize('seed,F', [(3, 40), (7, 150)])
+    def test_maps_parity(self, seed, F):
+        import jax
+        from jrender_tpu.ops.n3mr import impl
+        from jrender_tpu.ops.n3mr.pallas_impl import forward_maps_pallas
+
+        face9 = self._random_faces(seed, F)
+        is_ = 64
+        fi_p, wt_p, dp_p, finv_p = forward_maps_pallas(face9, is_, 0.1, 100.0)
+        fi_j, wt_j, dp_j, finv_j = jax.vmap(
+            lambda f: impl.forward_maps_single(f, is_, 0.1, 100.0))(face9)
+        cov = int((fi_j >= 0).sum())
+        assert cov > 50
+        # identical winner everywhere (deterministic lowest-index ties)
+        np.testing.assert_array_equal(np.asarray(fi_p), np.asarray(fi_j))
+        m = np.asarray(fi_j >= 0)
+        np.testing.assert_allclose(np.asarray(dp_p)[m], np.asarray(dp_j)[m],
+                                   rtol=0, atol=1e-4)
+        # FMA-contraction differences between the two compiled graphs
+        # bound per-pixel weight agreement
+        np.testing.assert_allclose(np.asarray(wt_p), np.asarray(wt_j), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(finv_p), np.asarray(finv_j),
+                                   atol=1e-3)
+
+    def test_rasterize_rgbad_backend_parity(self):
+        from jrender_tpu.ops.n3mr import api
+
+        face9 = self._random_faces(11, 60).reshape(1, 60, 3, 3)
+        rng = np.random.RandomState(1)
+        tex = jnp.asarray(rng.rand(1, 60, 2, 2, 2, 3).astype(np.float32))
+        outs = {}
+        for be in ('pallas', 'jax'):
+            api.set_backend(be)
+            try:
+                outs[be] = api.rasterize_rgbad(face9, tex, image_size=64,
+                                               anti_aliasing=False)
+            finally:
+                api.set_backend('auto')
+        for k in ('rgb', 'alpha', 'depth'):
+            np.testing.assert_allclose(np.asarray(outs['pallas'][k]),
+                                       np.asarray(outs['jax'][k]), atol=1e-4)
