@@ -257,7 +257,7 @@ def backward_depth_single(face, face_index, face_inv_map, weight, depth, grad_de
 
 def backward_pixel_map_single(face, face_index, rgb_map, alpha_map,
                               grad_rgb, grad_alpha, is_, eps,
-                              return_rgb, return_alpha, face_chunk=16):
+                              return_rgb, return_alpha, face_chunk=None):
     """NMR edge gradients, vectorized plane sweep (rasterize.py:342-660).
 
     For each (edge, axis) combination (6 static cases) the reference walks
@@ -267,6 +267,11 @@ def backward_pixel_map_single(face, face_index, rgb_map, alpha_map,
     """
     F = face.shape[0]
     P = is_ * is_
+    if face_chunk is None:
+        # the 6 unrolled (edge, axis) cases keep ~20 [Fc, is, is] f32
+        # buffers live; bound Fc*is² to ~4M elements (device OOMs under
+        # lax.scan double-buffering otherwise at 1024²)
+        face_chunk = max(1, min(16, (1 << 22) // P))
     front = _face_frontside_n3mr(face)
 
     alpha_flat = alpha_map.reshape(-1) if return_alpha else None
