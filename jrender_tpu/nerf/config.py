@@ -79,6 +79,10 @@ def config_parser():
     # precrop
     parser.add_argument('--precrop_iters', type=int, default=0)
     parser.add_argument('--precrop_frac', type=float, default=0.5)
+    parser.add_argument('--valid_ratio', type=float, default=-1.0,
+                        help='mask-guided sampling: fraction of rays drawn '
+                             'from valid (mask>0) pixels; <0 disables '
+                             '(demo7-nerf.py:263,545-563)')
 
     # dataset options
     parser.add_argument('--dataset_type', type=str, default='llff')

@@ -123,10 +123,17 @@ def create_nerf(args, key=None):
 
 
 def save_checkpoint(ckpt_dir, step, params, opt_state):
+    """Persist step + params + optimizer state (demo7-nerf.py:594-602 saves
+    the Adam state dict too; resume must not reset moments)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, f'{step:09d}'))
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, {'step': step, 'params': params}, force=True)
+    # optax states are namedtuple pytrees; orbax restores them as plain
+    # dict/list trees, so store the leaves and rebuild with the caller's
+    # treedef on restore.
+    opt_leaves = jax.tree_util.tree_leaves(opt_state)
+    ckptr.save(path, {'step': step, 'params': params,
+                      'opt_leaves': list(opt_leaves)}, force=True)
     return path
 
 
@@ -135,6 +142,12 @@ def restore_checkpoint(path, params, opt_state):
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(os.path.abspath(path))
     step = int(np.asarray(restored['step']))
+    if 'opt_leaves' in restored and restored['opt_leaves'] is not None:
+        treedef = jax.tree_util.tree_structure(opt_state)
+        leaves = [restored['opt_leaves'][k] for k in
+                  sorted(restored['opt_leaves'], key=int)] \
+            if isinstance(restored['opt_leaves'], dict) else list(restored['opt_leaves'])
+        opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     return restored['params'], opt_state, step
 
 
@@ -174,31 +187,71 @@ def render_path(poses, hwf, params, render_kwargs, chunk=1024 * 32,
 
 
 def make_train_step(optimizer, render_kwargs, H, W, focal, near, far,
-                    N_rand, precrop_iters, precrop_frac, ndc):
-    """One fused train step: sample rays from one image, render, update."""
+                    N_rand, precrop_iters, precrop_frac, ndc,
+                    valid_ratio=-1.0):
+    """One fused train step: sample rays from one image, render, update.
+
+    ``valid_ratio >= 0`` enables the reference's mask-guided sampling
+    (demo7-nerf.py:545-563): when an image's valid (mask>0) pixels are a
+    minority, draw ``N_rand*valid_ratio`` rays from valid pixels and the
+    rest from invalid ones — implemented as a single Gumbel-top-k sort so
+    it stays jittable (without-replacement, like the reference's
+    np.random.choice(replace=False)).
+    """
     kwargs = dict(render_kwargs)
     network_query_fn = kwargs.pop('network_query_fn')
     use_viewdirs = kwargs.get('use_viewdirs', False)
 
-    def step_fn(params, opt_state, image, pose, step, key):
+    def step_fn(params, opt_state, image, pose, step, key, mask=None):
         k_sel, k_render = jax.random.split(key)
         rays_o, rays_d = pinhole_get_rays(H, W, focal, pose)
+        in_precrop = step < precrop_iters
+        dH = int(H // 2 * precrop_frac)
+        dW = int(W // 2 * precrop_frac)
 
-        # precrop-aware pixel selection (demo7-nerf.py:526-544)
-        def select_coords(k):
-            dH = int(H // 2 * precrop_frac)
-            dW = int(W // 2 * precrop_frac)
-            in_precrop = step < precrop_iters
-            # sample in the crop window when in precrop phase, else anywhere
-            hy = jax.random.randint(k, (N_rand,), 0, 2 * dH)
-            hx = jax.random.randint(jax.random.fold_in(k, 1), (N_rand,), 0, 2 * dW)
-            fy = jax.random.randint(jax.random.fold_in(k, 2), (N_rand,), 0, H)
-            fx = jax.random.randint(jax.random.fold_in(k, 3), (N_rand,), 0, W)
+        if valid_ratio >= 0.0 and mask is not None:
+            # Mask-guided valid-ratio sampling (demo7-nerf.py:545-563).
+            yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing='ij')
+            in_window = jnp.where(
+                in_precrop,
+                (yy >= H // 2 - dH) & (yy < H // 2 + dH) &
+                (xx >= W // 2 - dW) & (xx < W // 2 + dW),
+                jnp.ones((H, W), bool))
+            valid = (mask[..., 0] > 0.0) & in_window
+            invalid = (mask[..., 0] == 0.0) & in_window
+            n_valid = jnp.sum(valid)
+            n_invalid = jnp.sum(invalid)
+            # reference falls back to uniform when valid pixels dominate
+            uniform = n_valid > n_invalid
+            sample_size = jnp.minimum(int(N_rand * valid_ratio), n_valid)
+            sample_size = jnp.where(uniform, 0, sample_size)
+            g = jax.random.gumbel(k_sel, (H * W,))
+            # three tiers: valid > invalid > outside-window; within a tier
+            # the gumbel noise orders pixels uniformly at random, so taking
+            # prefixes = without-replacement sampling per tier.
+            score = g + jnp.where(valid.reshape(-1), 2e4,
+                                  jnp.where(invalid.reshape(-1), 0.0, -2e4))
+            order = jnp.argsort(-score)
+            j = jnp.arange(N_rand)
+            pick = jnp.where(
+                uniform,
+                order[j],  # uniform over the window (valid first is fine: all tiers random)
+                jnp.where(j < sample_size, order[j],
+                          order[jnp.clip(n_valid + (j - sample_size), 0, H * W - 1)]))
+            # For the uniform branch the reference samples uniformly over the
+            # window; tiered `order` is not uniform across tiers, so redraw:
+            u_flat = jnp.argsort(-(g + jnp.where(in_window.reshape(-1), 0.0, -2e4)))
+            pick = jnp.where(uniform, u_flat[j], pick)
+            ys, xs = pick // W, pick % W
+        else:
+            # precrop-aware pixel selection (demo7-nerf.py:526-544)
+            hy = jax.random.randint(k_sel, (N_rand,), 0, 2 * dH)
+            hx = jax.random.randint(jax.random.fold_in(k_sel, 1), (N_rand,), 0, 2 * dW)
+            fy = jax.random.randint(jax.random.fold_in(k_sel, 2), (N_rand,), 0, H)
+            fx = jax.random.randint(jax.random.fold_in(k_sel, 3), (N_rand,), 0, W)
             ys = jnp.where(in_precrop, H // 2 - dH + hy, fy)
             xs = jnp.where(in_precrop, W // 2 - dW + hx, fx)
-            return ys, xs
 
-        ys, xs = select_coords(k_sel)
         ro = rays_o[ys, xs]
         rd = rays_d[ys, xs]
         target = image[ys, xs]
@@ -224,18 +277,19 @@ def make_train_step(optimizer, render_kwargs, H, W, focal, near, far,
     return step_fn
 
 
-def make_scan_train(step_fn, steps_per_dispatch):
+def make_scan_train(step_fn, steps_per_dispatch, with_masks=False):
     """Fuse N train steps into one dispatch with lax.scan."""
 
     @jax.jit
-    def run(params, opt_state, images, poses, img_idx, step0, key):
+    def run(params, opt_state, images, poses, img_idx, step0, key, masks=None):
         def body(carry, i):
             params, opt_state = carry
             k = jax.random.fold_in(key, i)
             image = images[img_idx[i]]
             pose = poses[img_idx[i]]
+            mask = masks[img_idx[i]] if with_masks else None
             params, opt_state, loss, psnr = step_fn(params, opt_state, image,
-                                                    pose, step0 + i, k)
+                                                    pose, step0 + i, k, mask)
             return (params, opt_state), (loss, psnr)
 
         (params, opt_state), (losses, psnrs) = jax.lax.scan(
@@ -245,16 +299,109 @@ def make_scan_train(step_fn, steps_per_dispatch):
     return run
 
 
+def build_ray_pool(images, poses, i_train, H, W, focal):
+    """Pre-compute the shuffled all-image ray pool for batched training.
+
+    Reference: demo7-nerf.py:459-478 — rays_rgb [(N_train·H·W), 3, 3]
+    stacking (ray_o, ray_d, rgb) per pixel over all training images,
+    shuffled once up front.  Built in numpy on host, shipped to device
+    once.
+    """
+    pools = []
+    for i in np.asarray(i_train):
+        ro, rd = pinhole_get_rays(H, W, focal, jnp.asarray(poses[i][:3, :4]))
+        pools.append(np.stack([np.asarray(ro), np.asarray(rd),
+                               np.asarray(images[i][..., :3])], 2))  # [H,W,3,3]
+    pool = np.concatenate([p.reshape(-1, 3, 3) for p in pools], 0)
+    return pool.astype(np.float32)
+
+
+def make_batched_train_step(optimizer, render_kwargs, H, W, focal, near, far,
+                            N_rand, ndc):
+    """One train step drawing rays from the pre-shuffled global ray pool
+    (demo7-nerf.py:509-520): sequential N_rand slices through a device-held
+    permutation of the pool."""
+    kwargs = dict(render_kwargs)
+    network_query_fn = kwargs.pop('network_query_fn')
+
+    def step_fn(params, opt_state, pool, perm, offset, key):
+        idx = jax.lax.dynamic_slice(perm, (offset,), (N_rand,))
+        batch = pool[idx]                      # [N_rand, 3, 3]
+        ro, rd, target = batch[:, 0], batch[:, 1], batch[:, 2]
+
+        def loss_fn(p):
+            kw = dict(kwargs)
+            rgb, disp, acc, extras = render_pass.render(
+                H, W, focal, chunk=N_rand, rays=(ro, rd), ndc=ndc,
+                near=near, far=far, key=key,
+                network_fn=p['coarse'], network_fine=p.get('fine'),
+                network_query_fn=network_query_fn, **kw)
+            loss = img2mse(rgb, target)
+            psnr = mse2psnr(loss)
+            if 'rgb0' in extras:
+                loss = loss + img2mse(extras['rgb0'], target)
+            return loss, psnr
+
+        (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, psnr
+
+    return step_fn
+
+
+def make_batched_scan_train(step_fn, steps_per_dispatch, N_rand, pool_size):
+    """Fuse N batched steps per dispatch; offsets wrap modulo the pool."""
+
+    @jax.jit
+    def run(params, opt_state, pool, perm, offset0, key):
+        def body(carry, i):
+            params, opt_state = carry
+            k = jax.random.fold_in(key, i)
+            offset = (offset0 + i * N_rand) % (pool_size - N_rand + 1)
+            params, opt_state, loss, psnr = step_fn(params, opt_state, pool,
+                                                    perm, offset, k)
+            return (params, opt_state), (loss, psnr)
+
+        (params, opt_state), (losses, psnrs) = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps_per_dispatch))
+        return params, opt_state, losses, psnrs
+
+    return run
+
+
+def _make_summary_writer(expdir):
+    """Tensorboard scalar/image logging (demo7-nerf.py:490-501,630-633).
+
+    Only process index 0 writes (the jt.mpi rank-0 guard equivalent).
+    Returns None if no tensorboard backend is importable.
+    """
+    if jax.process_index() != 0:
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        try:
+            from tensorboardX import SummaryWriter
+        except Exception:
+            return None
+    logdir = os.path.join(expdir, 'summaries')
+    os.makedirs(logdir, exist_ok=True)
+    return SummaryWriter(log_dir=logdir)
+
+
 def train(args):
     """Full training entry point (mirrors demo7-nerf.py train())."""
     key = jax.random.PRNGKey(args.seed)
 
     # ---- data -------------------------------------------------------------
+    masks = None
     if args.dataset_type == 'blender':
         images, poses, render_poses, hwf, i_split = dataset.load_blender_data(
             args.datadir, args.half_res, args.testskip, factor=args.blender_factor)
         i_train, i_val, i_test = i_split
         near, far = 2.0, 6.0
+        masks = images[..., -1:]  # alpha channel (demo7-nerf.py:381)
         if args.white_bkgd:
             images = images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
         else:
@@ -314,14 +461,33 @@ def train(args):
         for k in sorted(vars(args)):
             f.write(f'{k} = {getattr(args, k)}\n')
 
-    step_fn = make_train_step(optimizer, render_kwargs_train, H, W, focal,
-                              near, far, args.N_rand, args.precrop_iters,
-                              args.precrop_frac, ndc)
     spd = args.steps_per_dispatch
-    scan_train = make_scan_train(step_fn, spd)
-
+    use_batching = not args.no_batching
+    valid_ratio = getattr(args, 'valid_ratio', -1.0)
     images_d = jnp.asarray(images)
     poses_d = jnp.asarray(poses[:, :3, :4] if poses.shape[1] > 3 else poses)
+    masks_d = jnp.asarray(masks) if (masks is not None and valid_ratio >= 0) else None
+
+    if use_batching:
+        # global pre-shuffled ray pool (demo7-nerf.py:459-478)
+        pool_np = build_ray_pool(images, poses, i_train, H, W, focal)
+        pool_size = pool_np.shape[0]
+        pool_d = jnp.asarray(pool_np)
+        del pool_np
+        step_fn = make_batched_train_step(optimizer, render_kwargs_train, H, W,
+                                          focal, near, far, args.N_rand, ndc)
+        scan_train_b = make_batched_scan_train(step_fn, spd, args.N_rand, pool_size)
+        key, kp = jax.random.split(key)
+        perm_d = jax.random.permutation(kp, pool_size)
+        i_batch = 0
+    else:
+        step_fn = make_train_step(optimizer, render_kwargs_train, H, W, focal,
+                                  near, far, args.N_rand, args.precrop_iters,
+                                  args.precrop_frac, ndc, valid_ratio=valid_ratio)
+        scan_train = make_scan_train(step_fn, spd,
+                                     with_masks=masks_d is not None)
+
+    writer = _make_summary_writer(expdir)
 
     # ---- loop -------------------------------------------------------------
     rng = np.random.RandomState(args.seed)
@@ -330,10 +496,21 @@ def train(args):
     last_t, last_step = t0, global_step
     history = []
     while global_step < args.N_iters:
-        img_idx = jnp.asarray(rng.choice(i_train, size=spd))
         key, sub = jax.random.split(key)
-        params, opt_state, losses, psnrs = scan_train(
-            params, opt_state, images_d, poses_d, img_idx, global_step, sub)
+        if use_batching:
+            params, opt_state, losses, psnrs = scan_train_b(
+                params, opt_state, pool_d, perm_d, i_batch, sub)
+            i_batch += spd * args.N_rand
+            if i_batch + args.N_rand > pool_size:
+                # epoch boundary: reshuffle (demo7-nerf.py:515-519)
+                key, kp = jax.random.split(key)
+                perm_d = jax.random.permutation(kp, pool_size)
+                i_batch = 0
+        else:
+            img_idx = jnp.asarray(rng.choice(i_train, size=spd))
+            params, opt_state, losses, psnrs = scan_train(
+                params, opt_state, images_d, poses_d, img_idx, global_step,
+                sub, masks_d)
         global_step += spd
 
         if global_step % max(args.i_print // spd * spd, spd) == 0 or \
@@ -348,6 +525,10 @@ def train(args):
             print(f'[TRAIN] Iter: {global_step} Loss: {loss:.6f}  PSNR: {psnr:.3f} '
                   f'({rate:.1f} it/s)', flush=True)
             history.append((global_step, loss, psnr))
+            if writer is not None:
+                writer.add_scalar('train/loss', loss, global_step)
+                writer.add_scalar('train/psnr', psnr, global_step)
+                writer.add_scalar('train/it_per_s', rate, global_step)
 
         if args.i_weights > 0 and global_step % args.i_weights < spd:
             ckpt_dir = os.path.join(expdir, 'ckpts')
@@ -361,8 +542,22 @@ def train(args):
                                           render_kwargs_test, args.chunk,
                                           near=near, far=far, ndc=ndc)
             mse = float(img2mse(rgb, images_d[vi]))
-            print(f'[VAL] Iter: {global_step} PSNR: '
-                  f'{float(mse2psnr(jnp.asarray(mse))):.3f}', flush=True)
+            val_psnr = float(mse2psnr(jnp.asarray(mse)))
+            print(f'[VAL] Iter: {global_step} PSNR: {val_psnr:.3f}', flush=True)
+            val_dir = os.path.join(expdir, 'val_imgs')
+            os.makedirs(val_dir, exist_ok=True)
+            try:
+                import imageio.v2 as imageio
+                imageio.imwrite(os.path.join(val_dir, f'{global_step:06d}.png'),
+                                to8b(np.asarray(rgb)))
+            except Exception:
+                pass
+            if writer is not None:
+                writer.add_scalar('test/psnr', val_psnr, global_step)
+                writer.add_image('test/rgb', to8b(np.asarray(rgb)),
+                                 global_step, dataformats='HWC')
+                writer.add_image('test/target', to8b(np.asarray(images_d[vi])),
+                                 global_step, dataformats='HWC')
 
         if args.i_video > 0 and global_step % args.i_video < spd and \
                 global_step >= args.i_video:
@@ -386,4 +581,7 @@ def train(args):
                         render_factor=max(args.render_factor, 1) * 2)
             print('Saved test set renders to', testsavedir)
 
+    if writer is not None:
+        writer.flush()
+        writer.close()
     return params, opt_state, history

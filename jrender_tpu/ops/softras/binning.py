@@ -15,10 +15,64 @@ c2f overflow warning :249-258); ``counts`` reports the true demand.
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Opt-in in-jit overflow reporting via jax.debug.print.  The axon TPU
+# backend does not support host callbacks at all, so this must stay
+# opt-in; on CPU (tests) it works.  Eager calls always warn on the host.
+DEBUG_OVERFLOW = os.environ.get('JRENDER_DEBUG_BINNING', '0') not in ('0', '', 'false')
+
+
+def overflow_stats(counts: jnp.ndarray, cap: int,
+                   num_items: jnp.ndarray | None = None,
+                   w_cap: int | None = None):
+    """(dropped_faces, dropped_chunks): how much the static caps truncated.
+
+    `counts` is TileLists.counts (true pre-cap demand); `num_items` is
+    WorkList.num_items (true pre-cap work size).  Nonzero values mean the
+    render silently dropped faces — the reference warned in this case
+    (soft_rasterize_coarse_to_fine.py:249-258).
+    """
+    dropped_faces = jnp.sum(jnp.maximum(counts - cap, 0))
+    dropped_chunks = (jnp.maximum(num_items - w_cap, 0)
+                      if num_items is not None else jnp.int32(0))
+    return dropped_faces, dropped_chunks
+
+
+def report_overflow(counts: jnp.ndarray, cap: int,
+                    num_items: jnp.ndarray | None = None,
+                    w_cap: int | None = None, where: str = 'softras') -> None:
+    """Surface binning-cap overflow instead of dropping silently.
+
+    Eager (concrete) inputs: warns on the host with exact drop counts.
+    Traced inputs (inside jit): emits a jax.debug.print when
+    JRENDER_DEBUG_BINNING=1 (callback-capable backends only).
+    """
+    df, dc = overflow_stats(counts, cap, num_items, w_cap)
+    if isinstance(df, jax.core.Tracer):
+        if DEBUG_OVERFLOW:
+            jax.lax.cond(
+                (df > 0) | (dc > 0),
+                lambda: jax.debug.print(
+                    'WARNING [{w}]: binning overflow — {f} face slots past '
+                    'per-tile cap {c}, {k} work chunks past cap {wc}; some '
+                    'faces were dropped. Raise bin caps.',
+                    w=where, f=df, c=cap, k=dc, wc=w_cap or 0),
+                lambda: None)
+        return
+    df_i, dc_i = int(df), int(dc)
+    if df_i > 0 or dc_i > 0:
+        warnings.warn(
+            f'[{where}] binning overflow: {df_i} face slots past per-tile '
+            f'cap {cap}' +
+            (f', {dc_i} work chunks past cap {w_cap}' if dc_i else '') +
+            ' — some faces were dropped; raise the caps '
+            '(reference warned too: soft_rasterize_coarse_to_fine.py:249-258)')
 
 
 class TileLists(NamedTuple):

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import geometry as G
-from .binning import build_tile_lists, build_work_list, gather_tile_data
+from .binning import build_tile_lists, build_work_list, gather_tile_data, report_overflow
 from .params import SoftRasParams
 
 BIG_DEPTH = 10000000.0
@@ -674,6 +674,8 @@ def _prep_work_data(face_vertices, textures, p: SoftRasParams, cap, th, tw, w_ca
     lists = build_tile_lists(face, is_, th, tw, cap, p.threshold)
 
     work = build_work_list(lists.counts, cap, FACE_BLOCK, w_cap)
+    report_overflow(lists.counts, cap, work.num_items, w_cap,
+                    where=f'softras f_px {is_}px')
     W = w_cap
     # padding items replay the last real tile (never write -> harmless)
     total = work.num_items
@@ -1094,6 +1096,8 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
     FB = PF_FB
     lists = build_tile_lists(face, is_, t, t, cap, p.threshold)
     work = build_work_list(lists.counts, cap, FB, w_cap, skip_empty=True)
+    report_overflow(lists.counts, cap, work.num_items, w_cap,
+                    where=f'softras px_f {is_}px')
 
     total = work.num_items
     last_real = jnp.maximum(total - 1, 0)

@@ -46,6 +46,7 @@ def test_train_blender_e2e(tmp_path):
     cfg.write_text(f"""expname = t
 dataset_type = blender
 white_bkgd = True
+no_batching = True
 N_samples = 16
 N_importance = 8
 N_rand = 128
@@ -57,10 +58,10 @@ multires = 4
 multires_views = 2
 use_viewdirs = True
 lrate = 0.005
-N_iters = 60
+N_iters = 120
 steps_per_dispatch = 10
 i_print = 10
-i_weights = 60
+i_weights = 120
 testskip = 1
 """)
     args = parse_args(['--config', str(cfg), '--datadir', root,
@@ -68,19 +69,100 @@ testskip = 1
     assert args.dataset_type == 'blender'
     assert args.N_samples == 16
     assert args.use_viewdirs is True
+    assert args.no_batching is True
 
     params, opt_state, history = train(args)
     assert len(history) > 0
     psnrs = [h[2] for h in history]
-    assert psnrs[-1] > psnrs[0] - 0.5  # not diverging
+    # training must actually learn: PSNR rises by a real margin
+    assert psnrs[-1] > psnrs[0] + 2.0, f'PSNR did not rise: {psnrs}'
     assert np.isfinite(psnrs[-1])
     # checkpoint written and restorable
     ckpt_dir = tmp_path / 'logs' / 't' / 'ckpts'
     assert ckpt_dir.exists() and len(list(ckpt_dir.iterdir())) > 0
 
-    # resume path: re-parse with no_reload off discovers the checkpoint
+    # resume path: re-parse with no_reload off discovers the checkpoint and
+    # restores the FULL optimizer state (demo7-nerf.py:148-155,594-602) —
+    # Adam moments must survive, not reset.
     from jrender_tpu.nerf.trainer import create_nerf
     args2 = parse_args(['--config', str(cfg), '--datadir', root,
                         '--basedir', str(tmp_path / 'logs')])
-    _, _, start, _, _, _ = create_nerf(args2)
-    assert start >= 60
+    _, _, start, params2, _, opt_state2 = create_nerf(args2)
+    assert start >= 120
+    import jax
+    leaves_live = jax.tree_util.tree_leaves(opt_state)
+    leaves_restored = jax.tree_util.tree_leaves(opt_state2)
+    assert len(leaves_live) == len(leaves_restored)
+    for a, b in zip(leaves_live, leaves_restored):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg='optimizer state not restored')
+    # Adam second moments are nonzero after training (i.e. not a fresh init)
+    total = sum(float(np.abs(np.asarray(l)).sum()) for l in leaves_restored)
+    assert total > 0.0
+
+
+def test_train_blender_e2e_batched(tmp_path):
+    """The ray-pool batching path (reference default; demo7-nerf.py:459-520)
+    trains end-to-end and learns."""
+    from jrender_tpu.nerf.config import parse_args
+    from jrender_tpu.nerf.trainer import train
+
+    root = str(tmp_path / 'data')
+    make_blender_dataset(root)
+    cfg = tmp_path / 'cfg.txt'
+    cfg.write_text("""expname = tb
+dataset_type = blender
+white_bkgd = True
+N_samples = 16
+N_rand = 128
+netdepth = 2
+netwidth = 32
+multires = 4
+lrate = 0.005
+N_iters = 120
+steps_per_dispatch = 10
+i_print = 10
+i_weights = 0
+testskip = 1
+""")
+    args = parse_args(['--config', str(cfg), '--datadir', root,
+                       '--basedir', str(tmp_path / 'logs')])
+    assert not args.no_batching
+    params, opt_state, history = train(args)
+    psnrs = [h[2] for h in history]
+    assert psnrs[-1] > psnrs[0] + 2.0, f'PSNR did not rise: {psnrs}'
+
+
+def test_train_mask_guided_sampling(tmp_path):
+    """valid_ratio >= 0 routes through mask-guided sampling
+    (demo7-nerf.py:545-563) and still trains."""
+    from jrender_tpu.nerf.config import parse_args
+    from jrender_tpu.nerf.trainer import train
+
+    root = str(tmp_path / 'data')
+    make_blender_dataset(root)
+    cfg = tmp_path / 'cfg.txt'
+    cfg.write_text("""expname = tm
+dataset_type = blender
+white_bkgd = True
+no_batching = True
+valid_ratio = 0.8
+N_samples = 16
+N_rand = 64
+netdepth = 2
+netwidth = 32
+multires = 4
+lrate = 0.005
+N_iters = 40
+steps_per_dispatch = 10
+i_print = 10
+i_weights = 0
+testskip = 1
+""")
+    args = parse_args(['--config', str(cfg), '--datadir', root,
+                       '--basedir', str(tmp_path / 'logs')])
+    assert args.valid_ratio == 0.8
+    params, opt_state, history = train(args)
+    psnrs = [h[2] for h in history]
+    assert np.isfinite(psnrs[-1])
+    assert psnrs[-1] > psnrs[0] - 0.5
