@@ -68,22 +68,21 @@ def _forward(faces, textures, p: N3mrParams):
             lambda f: impl.forward_maps_single(f, is_, p.near, p.far))(face9)
 
     if p.return_rgb:
-        rgb, si, sw = jax.vmap(
-            lambda f, t, a, b, c: impl.texture_sampling_single(f, t, a, b, c, p.eps)
+        rgb, zc = jax.vmap(
+            lambda f, t, a, b, c: impl.trilinear_rgb_from_maps(f, t, a, b, c, p.eps)
         )(face9, textures, fi, wt, dp)
         bg = jnp.asarray(p.background_color, jnp.float32)
         mask = (fi >= 0).astype(jnp.float32)[..., None]
         rgb = rgb * mask + (1 - mask) * bg
     else:
         rgb = jnp.zeros((B, is_, is_, 3))
-        si = jnp.zeros((B, is_, is_, 8), jnp.int32)
-        sw = jnp.zeros((B, is_, is_, 8))
+        f_safe = jnp.maximum(fi, 0)
+        zc = jax.vmap(lambda f, i: f[:, 2::3][i])(face9, f_safe)
 
     alpha = (fi >= 0).astype(jnp.float32)
     out = (rgb, alpha, dp)
     saved = impl.N3mrMaps(face_index=fi, weight=wt, depth=dp, face_inv=finv,
-                          rgb=rgb, alpha=alpha, sampling_index=si,
-                          sampling_weight=sw)
+                          zcorn=zc, rgb=rgb, alpha=alpha)
     return out, saved
 
 
@@ -101,22 +100,23 @@ def _core_bwd(p: N3mrParams, res, gout):
 
     grad_faces = jnp.zeros_like(face9)
     if p.return_rgb or p.return_alpha:
-        gpix = jax.vmap(lambda f, fi, rgb, al, gr, ga: impl.backward_pixel_map_single(
+        from . import banded_bwd
+        gpix = jax.vmap(lambda f, fi, rgb, al, gr, ga: banded_bwd.backward_pixel_map_banded(
             f, fi, rgb, al, gr, ga, is_, p.eps, p.return_rgb, p.return_alpha)
         )(face9, m.face_index, m.rgb, m.alpha, g_rgb, g_alpha)
         grad_faces = grad_faces + gpix
 
     if p.return_rgb:
-        grad_tex = jax.vmap(lambda fi, sw, si, gr: impl.backward_textures_single(
-            textures.shape[1:], fi, sw, si, gr)
-        )(m.face_index, m.sampling_weight, m.sampling_index, g_rgb)
+        grad_tex = jax.vmap(lambda fi, wt, dpv, zc, gr: impl.backward_textures_single(
+            textures.shape[1:], fi, wt, dpv, zc, gr, p.eps)
+        )(m.face_index, m.weight, m.depth, m.zcorn, g_rgb)
     else:
         grad_tex = jnp.zeros_like(textures)
 
     if p.return_depth:
-        gdep = jax.vmap(lambda f, fi, finv, wt, dpv, gd: impl.backward_depth_single(
-            f, fi, finv, wt, dpv, gd)
-        )(face9, m.face_index, m.face_inv, m.weight, m.depth, g_depth)
+        gdep = jax.vmap(lambda f, fi, finv, wt, dpv, zc, gd: impl.backward_depth_single(
+            f, fi, finv, wt, dpv, zc, gd)
+        )(face9, m.face_index, m.face_inv, m.weight, m.depth, m.zcorn, g_depth)
         grad_faces = grad_faces + gdep
 
     return grad_faces.reshape(faces.shape), grad_tex

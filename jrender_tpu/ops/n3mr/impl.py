@@ -26,14 +26,16 @@ import jax.numpy as jnp
 
 
 class N3mrMaps(NamedTuple):
+    """Saved forward maps.  face_inv is FLAT [B,H,W,9]: a trailing (3,3)
+    would be tiled to (8,128) by the TPU layout engine (56x padding at
+    1024²+); consumers reshape locally inside fusions where it's free."""
     face_index: jnp.ndarray     # [B,H,W] int32, -1 empty
     weight: jnp.ndarray         # [B,H,W,3]
     depth: jnp.ndarray          # [B,H,W]
-    face_inv: jnp.ndarray       # [B,H,W,3,3]
+    face_inv: jnp.ndarray       # [B,H,W,9]
+    zcorn: jnp.ndarray          # [B,H,W,3] winner-face corner depths
     rgb: jnp.ndarray            # [B,H,W,3]
     alpha: jnp.ndarray          # [B,H,W]
-    sampling_index: jnp.ndarray  # [B,H,W,8] int32
-    sampling_weight: jnp.ndarray  # [B,H,W,8]
 
 
 def _face_frontside_n3mr(face):
@@ -156,10 +158,11 @@ def forward_maps_single(face, is_, near, far, face_chunk=512):
     depth = jnp.where(has, best_z, far)
     face_index = jnp.where(has, best_f, -1)
     f_safe = jnp.maximum(best_f, 0)
-    face_inv_map = jnp.where(has[:, None, None], inv[f_safe], 0.0)
+    inv9 = inv.reshape(F, 9)
+    face_inv_map = jnp.where(has[:, None], inv9[f_safe], 0.0)
     weight = jnp.where(has[:, None], best_w, 0.0)
     return (face_index.reshape(is_, is_), weight.reshape(is_, is_, 3),
-            depth.reshape(is_, is_), face_inv_map.reshape(is_, is_, 3, 3))
+            depth.reshape(is_, is_), face_inv_map.reshape(is_, is_, 9))
 
 
 def texture_sampling_single(face, tex, face_index, weight, depth, eps):
@@ -209,38 +212,117 @@ def texture_sampling_single(face, tex, face_index, weight, depth, eps):
             samp_w.reshape(H, W, 8))
 
 
-def backward_textures_single(tex_shape, face_index, samp_w, samp_idx, grad_rgb):
-    """Deterministic segment-sum texture gradient (rasterize.py:660-694)."""
+def sampling_tif(weight, depth, zcorn, ts, eps):
+    """Volumetric texture-index fractions [P,3] (rasterize.py:252-257)."""
+    tif = weight * (ts - 1) * (depth[:, None] / zcorn)
+    return jnp.clip(tif, 0.0, ts - 1 - eps)
+
+
+def tent_weights(tif, ts):
+    """Per-axis tent weights [..., ts]: w_i = max(0, 1-|tif - i|).
+
+    Algebraically identical to the reference's 8-corner trilinear taps
+    (rasterize.py:259-298): weight (1-frac) lands on floor(tif), frac on
+    floor(tif)+1, zero elsewhere — but needs no gathers, so the whole
+    trilinear fetch becomes three dense contractions (TPU-friendly)."""
+    grid = jnp.arange(ts, dtype=tif.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(tif[..., None] - grid))
+
+
+def trilinear_rgb_from_maps(face, tex, face_index, weight, depth, eps):
+    """Texture fetch from z-buffer maps — TPU-native reformulation.
+
+    One contiguous per-pixel row gather of the winning face's texture
+    volume, then a factorized tent-weight contraction (no per-tap
+    gathers, unlike the reference's 8 scattered fetches,
+    rasterize.py:259-298).  tex: [F,ts,ts,ts,3].
+    Returns (rgb [H,W,3], zcorn [H,W,3])."""
+    ts = tex.shape[1]
+    H, W = face_index.shape
+    F = tex.shape[0]
+    texf = tex.reshape(F, ts * ts * ts * 3)
+    fi = face_index.reshape(-1)
+    has = fi >= 0
+    f_safe = jnp.maximum(fi, 0)
+    zs = face[:, 2::3][f_safe]                              # [P,3] row gather
+    if ts == 1:
+        rgb = texf[f_safe]
+    else:
+        wt = weight.reshape(-1, 3)
+        dp = depth.reshape(-1)
+        tif = sampling_tif(wt, dp, zs, ts, eps)             # [P,3]
+        # everything stays 2-D [P, C]: 3-D intermediates with small
+        # trailing dims get (8,128)-tiled by the layout engine and blow
+        # memory ~50x at megapixel sizes
+        texrow = texf[f_safe]                               # [P, ts^3*3]
+        grid = jnp.arange(ts, dtype=tif.dtype)[None, :]
+        tw = [jnp.maximum(0.0, 1.0 - jnp.abs(tif[:, a:a + 1] - grid))
+              for a in range(3)]                            # 3 x [P,ts]
+        c1 = ts * ts * 3
+        t1 = sum(tw[0][:, i:i + 1] * texrow[:, i * c1:(i + 1) * c1]
+                 for i in range(ts))                        # [P, ts^2*3]
+        c2 = ts * 3
+        t2 = sum(tw[1][:, j:j + 1] * t1[:, j * c2:(j + 1) * c2]
+                 for j in range(ts))                        # [P, ts*3]
+        rgb = sum(tw[2][:, k:k + 1] * t2[:, k * 3:(k + 1) * 3]
+                  for k in range(ts))                       # [P, 3]
+    rgb = jnp.where(has[:, None], rgb, 0.0)
+    zcorn = jnp.where(has[:, None], zs, 1.0)
+    return rgb.reshape(H, W, 3), zcorn.reshape(H, W, 3)
+
+
+def backward_textures_single(tex_shape, face_index, weight, depth, zcorn,
+                             grad_rgb, eps):
+    """Deterministic segment-sum texture gradient (rasterize.py:660-694).
+
+    Recomputes the reference's 8 trilinear taps from the saved maps
+    (instead of replaying stored sampling indices/weights) and
+    segment-sums them — the atomicAdd replacement."""
     F, ts = tex_shape[0], tex_shape[1]
     fi = face_index.reshape(-1)
     has = fi >= 0
     f_safe = jnp.maximum(fi, 0)
-    sw = samp_w.reshape(-1, 8)
-    si = samp_idx.reshape(-1, 8)
     g = grad_rgb.reshape(-1, 3)
     T3 = ts * ts * ts
-    seg = jnp.where(has[:, None], f_safe[:, None] * T3 + si, F * T3)
-    vals = sw[..., None] * g[:, None, :]                    # [P,8,3]
-    out = jax.ops.segment_sum(vals.reshape(-1, 3), seg.reshape(-1),
-                              num_segments=F * T3 + 1)[:-1]
+    if ts == 1:
+        seg = jnp.where(has, f_safe, F)
+        out = jax.ops.segment_sum(jnp.where(has[:, None], g, 0.0), seg,
+                                  num_segments=F + 1)[:-1]
+        return out.reshape(F, ts, ts, ts, 3)
+    tif = sampling_tif(weight.reshape(-1, 3), depth.reshape(-1),
+                       zcorn.reshape(-1, 3), ts, eps)      # [P,3]
+    # factorized tent outer product, built 2-D with lane repeat/tile
+    # (equivalent to the reference's 8 taps; see tent_weights)
+    grid = jnp.arange(ts, dtype=tif.dtype)[None, :]
+    tw = [jnp.maximum(0.0, 1.0 - jnp.abs(tif[:, a:a + 1] - grid))
+          for a in range(3)]                                # 3 x [P,ts]
+    w01 = jnp.repeat(tw[0], ts, axis=1) * jnp.tile(tw[1], (1, ts))   # [P,ts^2]
+    w012 = jnp.repeat(w01, ts, axis=1) * jnp.tile(tw[2], (1, ts * ts))
+    rows = jnp.repeat(w012, 3, axis=1) * jnp.tile(g, (1, T3))        # [P,T3*3]
+    rows = jnp.where(has[:, None], rows, 0.0)
+    seg = jnp.where(has, f_safe, F)
+    out = jax.ops.segment_sum(rows, seg, num_segments=F + 1)[:-1]
     return out.reshape(F, ts, ts, ts, 3)
 
 
-def backward_depth_single(face, face_index, face_inv_map, weight, depth, grad_depth):
-    """Analytic depth gradients (rasterize.py:729-788)."""
+def backward_depth_single(face, face_index, face_inv_map, weight, depth,
+                          zcorn, grad_depth):
+    """Analytic depth gradients (rasterize.py:729-788).
+
+    All inputs are per-pixel maps (no face gathers: the winner's corner
+    depths were saved in the forward)."""
     F = face.shape[0]
     is_ = face_index.shape[0]
     fi = face_index.reshape(-1)
     has = fi >= 0
     f_safe = jnp.maximum(fi, 0)
-    fc = face[f_safe]
     inv = face_inv_map.reshape(-1, 3, 3)
     wt = weight.reshape(-1, 3)
     dp = depth.reshape(-1)
     gd = jnp.where(has, grad_depth.reshape(-1), 0.0)
     d2 = dp * dp
 
-    zs = fc[:, 2::3]
+    zs = zcorn.reshape(-1, 3)
     gz = gd[:, None] * wt * d2[:, None] / (zs * zs)         # [P,3]
 
     tmp = -jnp.sum(inv / zs[:, :, None], axis=1)            # [P,3] over l

@@ -173,7 +173,7 @@ def _prep_maps_pf(face, is_: int, cap: int, w_cap: int):
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def forward_maps_pallas(face, is_: int, near: float, far: float):
     """Batched z-buffer maps: (face_index [B,H,W] i32, weight [B,H,W,3],
-    depth [B,H,W], face_inv_map [B,H,W,3,3]).  Drop-in for
+    depth [B,H,W], face_inv_map [B,H,W,9] flat).  Drop-in for
     vmap(impl.forward_maps_single)."""
     B, F = face.shape[:2]
     t = _pf_tile_for(is_)
@@ -227,15 +227,16 @@ def forward_maps_pallas(face, is_: int, near: float, far: float):
     depth = jnp.where(has, best_z, far)
     face_index = jnp.where(has, best_f, -1)
 
-    # O(pixels) recompute of weight / face_inv from the winning face
+    # O(pixels) recompute of weight / face_inv from the winning face;
+    # flat [.,9] rows throughout (a trailing (3,3) would be (8,128)-tiled)
     f_safe = jnp.maximum(best_f, 0)
-    inv_all = impl._face_inv_pixel(face, is_)                     # [B,F,3,3]
-    inv_px = jax.vmap(lambda a, i: a[i])(inv_all, f_safe)         # [B,H,W,3,3]
+    inv_all = impl._face_inv_pixel(face, is_).reshape(B, F, 9)
+    inv_px = jax.vmap(lambda a, i: a[i])(inv_all, f_safe)         # [B,H,W,9]
     XI = jnp.arange(is_, dtype=jnp.float32)[None, None, :, None]  # cols
     YI = jnp.arange(is_, dtype=jnp.float32)[None, :, None, None]  # rows
-    w = inv_px[..., 0] * XI + inv_px[..., 1] * YI + inv_px[..., 2]
+    w = inv_px[..., 0::3] * XI + inv_px[..., 1::3] * YI + inv_px[..., 2::3]
     w = jnp.clip(w, 0.0, 1.0)
     w = w / jnp.sum(w, -1, keepdims=True)
     weight = jnp.where(has[..., None], w, 0.0)
-    face_inv_map = jnp.where(has[..., None, None], inv_px, 0.0)
+    face_inv_map = jnp.where(has[..., None], inv_px, 0.0)
     return face_index, weight, depth, face_inv_map

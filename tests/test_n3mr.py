@@ -67,6 +67,27 @@ class TestForward:
         assert s.shape == (1, 32, 32)
         assert ((s > 0) & (s < 1)).any()  # soft edges from supersampling
 
+    def test_trilinear_matches_tap_sampler(self):
+        """The factorized tent-weight fetch must equal the reference-style
+        8-tap trilinear sampler (rasterize.py:259-298) bit-for-bit-ish."""
+        from jrender_tpu.ops.n3mr import impl
+        rng = np.random.RandomState(5)
+        F, ts, is_ = 25, 4, 48
+        tri = rng.uniform(-0.9, 0.9, size=(F, 3, 2)).astype(np.float32)
+        z = rng.uniform(1.5, 3.5, size=(F, 3, 1)).astype(np.float32)
+        face = jnp.asarray(np.concatenate([tri, z], -1).reshape(F, 9))
+        tex = jnp.asarray(rng.rand(F, ts, ts, ts, 3).astype(np.float32))
+        fi, wt, dp, _ = impl.forward_maps_single(face, is_, 0.1, 100.0)
+        assert int((fi >= 0).sum()) > 100
+        rgb_tap, _, _ = impl.texture_sampling_single(face, tex, fi, wt, dp, 1e-3)
+        rgb_new, zc = impl.trilinear_rgb_from_maps(face, tex, fi, wt, dp, 1e-3)
+        np.testing.assert_allclose(np.asarray(rgb_new), np.asarray(rgb_tap),
+                                   atol=2e-6)
+        m = np.asarray(fi) >= 0
+        np.testing.assert_allclose(np.asarray(zc)[m],
+                                   np.asarray(face)[:, 2::3][np.asarray(fi)[m]],
+                                   rtol=1e-6)
+
     def test_rgbad_dict(self):
         fv = jnp.asarray(tri())
         tex = jnp.ones((1, 1, 2, 2, 2, 3), jnp.float32)
@@ -144,6 +165,49 @@ class TestBackward:
             fvm[0, 0, k, 2] -= eps
             fd = (loss(fvp) - loss(fvm)) / (2 * eps)
             np.testing.assert_allclose(g[0, 0, k, 2], fd, rtol=5e-2, atol=1e-3)
+
+
+class TestBandedBackward:
+    """Band-binned edge-gradient backward vs the plane-sweep oracle."""
+
+    def _scene(self, seed=7, F=60, is_=64):
+        from jrender_tpu.ops.n3mr import impl
+        rng = np.random.RandomState(seed)
+        tri = rng.uniform(-0.95, 0.95, size=(F, 3, 2)).astype(np.float32)
+        z = rng.uniform(1.2, 4.0, size=(F, 3, 1)).astype(np.float32)
+        face = jnp.asarray(np.concatenate([tri, z], -1).reshape(F, 9))
+        fi, wt, dp, _ = impl.forward_maps_single(face, is_, 0.1, 100.0)
+        alpha = (fi >= 0).astype(jnp.float32)
+        tex = jnp.asarray(rng.rand(F, 2, 2, 2, 3).astype(np.float32))
+        rgb, _ = impl.trilinear_rgb_from_maps(face, tex, fi, wt, dp, 1e-3)
+        ga = jnp.asarray(rng.randn(is_, is_).astype(np.float32))
+        gr = jnp.asarray(rng.randn(is_, is_, 3).astype(np.float32))
+        return face, fi, rgb, alpha, gr, ga, is_
+
+    @pytest.mark.parametrize('rr,ra', [(True, True), (True, False),
+                                       (False, True)])
+    def test_parity_vs_oracle(self, rr, ra):
+        from jrender_tpu.ops.n3mr import impl, banded_bwd
+        face, fi, rgb, alpha, gr, ga, is_ = self._scene()
+        ref = np.asarray(impl.backward_pixel_map_single(
+            face, fi, rgb, alpha, gr, ga, is_, 1e-3, rr, ra))
+        got = np.asarray(banded_bwd.backward_pixel_map_banded(
+            face, fi, rgb, alpha, gr, ga, is_, 1e-3, rr, ra)).reshape(ref.shape)
+        scale = np.max(np.abs(ref))
+        assert scale > 0
+        np.testing.assert_allclose(got, ref, atol=2e-5 * scale)
+
+    def test_parity_small_chunk_forces_multi_chunk_bands(self):
+        """chunk=16 forces several work items per band (list paging path)."""
+        from jrender_tpu.ops.n3mr import impl, banded_bwd
+        face, fi, rgb, alpha, gr, ga, is_ = self._scene(seed=3, F=90)
+        ref = np.asarray(impl.backward_pixel_map_single(
+            face, fi, rgb, alpha, gr, ga, is_, 1e-3, True, True))
+        got = np.asarray(banded_bwd.backward_pixel_map_banded(
+            face, fi, rgb, alpha, gr, ga, is_, 1e-3, True, True,
+            16, 8)).reshape(ref.shape)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(got, ref, atol=2e-5 * scale)
 
 
 class TestModuleFacade:
