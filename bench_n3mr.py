@@ -65,7 +65,7 @@ def main():
         def many(x, t, n):
             def body(c, _):
                 gf, gt = grad_fn(x, t)
-                return c + gf[0, 0, 0, 0] + gt[0, 0, 0, 0, 0, 0], None
+                return c + gf[0, 0, 0] + gt[0, 0, 0, 0, 0, 0], None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return c
 

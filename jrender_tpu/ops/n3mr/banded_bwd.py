@@ -90,7 +90,12 @@ def build_band_lists(d0_from, d0_to, valid, n_bands: int, cap: int) -> BandLists
 
 def _axis_pass(face, maps, is_: int, eps: float, return_rgb: bool,
                return_alpha: bool, axis: int, chunk: int, w_cap_mul: int):
-    """One (d0-axis) pass.  Returns (vals [W,C,2], segs [W,C,2])."""
+    """One (d0-axis) pass.  Returns a [F*9+1] gradient accumulator.
+
+    Chunks are consumed by a lax.while_loop with a *dynamic* trip count
+    (wl.num_items): the static w_cap only sizes the work arrays, so the
+    skew margin costs memory, not compute — unlike lax.map, which would
+    evaluate every padded chunk's full [C,8,is] grid."""
     F = face.shape[0]
     fi_map, alpha_map, ga_map, rgb_map, gr_map = maps
     pp = impl._pixel_space(face.reshape(F, 3, 3)[:, :, :2], is_)   # [F,3,2]
@@ -147,10 +152,8 @@ def _axis_pass(face, maps, is_: int, eps: float, return_rgb: bool,
     def step(w):
         band = wl.tile[w]
         ch = wl.chunk[w]
-        live = w < wl.num_items
         ids = jax.lax.dynamic_slice(lists.ids, (band, ch * chunk),
                                     (1, chunk))[0]           # [C]
-        ids = jnp.where(live, ids, -1)
         ok_i = ids >= 0
         idx = jnp.maximum(ids, 0)
         P00, P01, P10, P11, P20, P21 = (a[idx] for a in
@@ -252,8 +255,16 @@ def _axis_pass(face, maps, is_: int, eps: float, return_rgb: bool,
         seg2 = jnp.where(FID >= 0, FID * 9 + ((E + 1) % 3) * 3 + col, F * 9)
         return (jnp.stack([-c1, -c2], -1), jnp.stack([seg1, seg2], -1))
 
-    vals, segs = jax.lax.map(step, jnp.arange(w_cap, dtype=jnp.int32))
-    return vals, segs
+    def body(carry):
+        w, acc = carry
+        vals, segs = step(w)
+        acc = acc.at[segs.reshape(-1)].add(vals.reshape(-1))
+        return (w + 1, acc)
+
+    init = (jnp.int32(0), jnp.zeros((F * 9 + 1,), jnp.float32))
+    _, acc = jax.lax.while_loop(
+        lambda c: c[0] < jnp.minimum(wl.num_items, w_cap), body, init)
+    return acc
 
 
 def _band_cap(F: int) -> int:
@@ -279,11 +290,8 @@ def backward_pixel_map_banded(face, face_index, rgb_map, alpha_map,
     work (see module docstring).  Returns grad_face [F, 9]."""
     F = face.shape[0]
     maps = (face_index, alpha_map, grad_alpha, rgb_map, grad_rgb)
-    v0, s0 = _axis_pass(face, maps, is_, eps, return_rgb, return_alpha,
-                        axis=0, chunk=chunk, w_cap_mul=w_cap_mul)
-    v1, s1 = _axis_pass(face, maps, is_, eps, return_rgb, return_alpha,
-                        axis=1, chunk=chunk, w_cap_mul=w_cap_mul)
-    vals = jnp.concatenate([v0.reshape(-1), v1.reshape(-1)])
-    segs = jnp.concatenate([s0.reshape(-1), s1.reshape(-1)])
-    out = jax.ops.segment_sum(vals, segs, num_segments=F * 9 + 1)[:-1]
-    return out.reshape(F, 9)
+    a0 = _axis_pass(face, maps, is_, eps, return_rgb, return_alpha,
+                    axis=0, chunk=chunk, w_cap_mul=w_cap_mul)
+    a1 = _axis_pass(face, maps, is_, eps, return_rgb, return_alpha,
+                    axis=1, chunk=chunk, w_cap_mul=w_cap_mul)
+    return (a0 + a1)[:-1].reshape(F, 9)

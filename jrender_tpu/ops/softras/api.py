@@ -46,12 +46,28 @@ def _soft_rasterize_core(face_vertices, textures, p: SoftRasParams, backend: str
     return out
 
 
+def _pallas_route(p: SoftRasParams, F: int) -> str:
+    """'px_f' | 'f_px' | 'jax'.  The px_f kernels implement the reference
+    top-K gradient truncation (threshold pass); the legacy f_px kernels do
+    not, so for non-tileable image sizes a *binding* grad_mode='topk'
+    (F > K) is honestly dispatched to the oracle instead of silently
+    dropping the policy."""
+    from . import pallas_impl
+    if pallas_impl.LAYOUT == 'px_f' and pallas_impl._pf_tile_for(p.image_size):
+        return 'px_f'
+    if p.grad_mode == 'topk' and p.max_faces_id < F:
+        return 'jax'
+    return 'f_px'
+
+
 def _forward(face_vertices, textures, p: SoftRasParams, backend: str):
     if backend == 'pallas':
         from . import pallas_impl
-        if pallas_impl.LAYOUT == 'px_f' and pallas_impl._pf_tile_for(p.image_size):
+        route = _pallas_route(p, face_vertices.shape[1])
+        if route == 'px_f':
             return pallas_impl.soft_rasterize_fwd_pallas_pf(face_vertices, textures, p)
-        return pallas_impl.soft_rasterize_fwd_pallas(face_vertices, textures, p)
+        if route == 'f_px':
+            return pallas_impl.soft_rasterize_fwd_pallas(face_vertices, textures, p)
     return jax_impl.soft_rasterize_fwd_jax(face_vertices, textures, p)
 
 
@@ -59,11 +75,13 @@ def _backward(face_vertices, textures, soft_colors, aggrs, faces_id, g,
               p: SoftRasParams, backend: str):
     if backend == 'pallas':
         from . import pallas_impl
-        if pallas_impl.LAYOUT == 'px_f' and pallas_impl._pf_tile_for(p.image_size):
+        route = _pallas_route(p, face_vertices.shape[1])
+        if route == 'px_f':
             return pallas_impl.soft_rasterize_bwd_pallas_pf(
                 face_vertices, textures, soft_colors, aggrs, faces_id, g, p)
-        return pallas_impl.soft_rasterize_bwd_pallas(
-            face_vertices, textures, soft_colors, aggrs, faces_id, g, p)
+        if route == 'f_px':
+            return pallas_impl.soft_rasterize_bwd_pallas(
+                face_vertices, textures, soft_colors, aggrs, faces_id, g, p)
     return jax_impl.soft_rasterize_bwd_jax(
         face_vertices, textures, soft_colors, aggrs, faces_id, g, p)
 

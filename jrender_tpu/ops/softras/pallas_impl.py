@@ -812,8 +812,9 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
 
     def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
                ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref, tex_ref,
-               out_ref, aggrs_ref,
-               acc_num, acc_sum, acc_max, acc_alpha, acc_dmin, acc_did):
+               out_ref, aggrs_ref, cnt_ref,
+               acc_num, acc_sum, acc_max, acc_alpha, acc_dmin, acc_did,
+               acc_cnt):
         i = pl.program_id(0)
         ty = ty_s[i]
         tx = tx_s[i]
@@ -830,6 +831,7 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
                 acc_alpha[:] = jnp.zeros((ph, pw), jnp.float32)
             acc_dmin[:] = jnp.full((ph, pw), BIG_DEPTH, jnp.float32)
             acc_did[:] = jnp.full((ph, pw), -1, jnp.int32)
+            acc_cnt[:] = jnp.zeros((ph, pw), jnp.float32)
 
         @pl.when(act_s[i] == 1)
         def _merge():
@@ -854,6 +856,12 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
             zp = terms['zp']
             alpha_valid = terms['alpha_valid']
             tk_valid = terms['tk_valid']
+
+            # per-pixel top-K candidate count (reference's q_size,
+            # soft_rasterize.py:369-385) — backward uses it to decide
+            # whether the K-truncation threshold pass is needed at all
+            cand = tk_valid & (ids[0:1, :][None] >= 0)
+            acc_cnt[:] = acc_cnt[:] + jnp.sum(cand.astype(jnp.float32), -1)
 
             sf_a = jnp.where(alpha_valid, sf, 0.0)
             if p.alpha_func_id == 0:
@@ -932,18 +940,87 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
                 aggrs_ref[0, 0, 0] = jnp.zeros((ph, pw), jnp.float32)
                 aggrs_ref[0, 1, 0] = jnp.zeros((ph, pw), jnp.float32)
             out_ref[0, 3, 0] = alpha
+            cnt_ref[0, 0, 0] = acc_cnt[:]
 
     return kernel
 
 
-def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
+def _make_topk_thr_kernel_pf(p: SoftRasParams, F_total: int):
+    """Per-pixel K-th-smallest-candidate-depth map.
+
+    Implements the reference forward's top-K face selection
+    (soft_rasterize.py:369-385: a per-thread max-heap on zp over faces
+    passing border/dist/near-far) as a streaming sorted-insert over the
+    same work list as the forward: the scratch holds each pixel's K
+    smallest candidate depths in ascending order; each 128-face chunk
+    extracts its own minima and merge-inserts them.  The emitted
+    threshold (the K-th smallest, BIG_DEPTH when fewer than K candidates)
+    gates the backward exactly like the reference's faces_id buffer,
+    except that depth *ties* at the threshold all pass (the CUDA heap
+    kept the first-encountered face; exact z-ties are measure-zero)."""
+    is_ = p.image_size
+    ph = pw = _pf_tile_for(is_)
+    K = p.max_faces_id
+
+    def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
+               ids_ref, face_ref, inv_ref, sym_ref, obt_ref,
+               thr_ref, acc_topk):
+        i = pl.program_id(0)
+        ty = ty_s[i]
+        tx = tx_s[i]
+
+        @pl.when(first_s[i] == 1)
+        def _init():
+            acc_topk[:] = jnp.full((ph, pw, K), BIG_DEPTH, jnp.float32)
+
+        @pl.when(act_s[i] == 1)
+        def _body():
+            rows = (ty * ph + jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+                    ).astype(jnp.float32)
+            cols = (tx * pw + jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
+                    ).astype(jnp.float32)
+            xp = (2.0 * cols + 1.0 - is_) / is_
+            yp = (is_ - 1.0 - 2.0 * rows) / is_
+            terms = _pair_terms_kernel(face_ref[0], inv_ref[0], sym_ref[0],
+                                       obt_ref[0], xp, yp, p, layout='px_f')
+            cand = terms['tk_valid'] & (ids_ref[0][0:1, :][None] >= 0)
+            zk = jnp.where(cand, terms['zp'], BIG_DEPTH)      # [ph,pw,FB]
+
+            acc = acc_topk[:]
+            for _ in range(K):
+                m = jnp.min(zk, axis=-1)                      # [ph,pw]
+                zk = jnp.where(zk == m[..., None], BIG_DEPTH, zk)
+                # sorted insert (ascending): ge is a suffix mask.  Masks
+                # stay f32 — Mosaic cannot shift/concat i1 vectors.
+                ge = (m[..., None] <= acc).astype(jnp.float32)  # [ph,pw,K]
+                ge_prev = jnp.concatenate(
+                    [jnp.zeros_like(ge[..., :1]), ge[..., :-1]], -1)
+                ins = ge * (1.0 - ge_prev)
+                shifted = jnp.concatenate([acc[..., :1], acc[..., :-1]], -1)
+                inserted = jnp.where(ins > 0.5, m[..., None], shifted)
+                acc = jnp.where(ge > 0.5, inserted, acc)
+            acc_topk[:] = acc
+
+        @pl.when(last_s[i] == 1)
+        def _fin():
+            thr_ref[0, 0, 0] = acc_topk[:][..., K - 1]
+
+    return kernel
+
+
+def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
+                        use_thr: bool = False):
     is_ = p.image_size
     ph = pw = _pf_tile_for(is_)
 
     def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
                ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref, tex_ref,
-               sc_ref, ag_ref, go_ref,
-               gface_ref, gtex_ref):
+               sc_ref, ag_ref, go_ref, *rest):
+        if use_thr:
+            thr_ref = rest[0]
+            gface_ref, gtex_ref = rest[1:]
+        else:
+            gface_ref, gtex_ref = rest
         i = pl.program_id(0)
         ty = ty_s[i]
         tx = tx_s[i]
@@ -973,6 +1050,11 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
 
             sf = jnp.ones_like(sf_fwd) if p.dist_func_id == 0 else sf_fwd
             valid = (ids[0:1, :][None] >= 0) & terms['tk_valid']
+            if use_thr:
+                # reference top-K policy: only the K nearest candidate
+                # faces per pixel receive gradients (soft_rasterize.py:
+                # 369-385 selection, :1233+ buffer-bounded loop)
+                valid = valid & (zp <= thr_ref[0, 0, 0][..., None])
             vf = valid.astype(jnp.float32)
 
             g_rgb = [go_ref[0, k, 0][..., None] for k in range(3)]  # [ph,pw,1]
@@ -1079,25 +1161,16 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
     return kernel
 
 
-def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
-    """Pre-pass for the px_f layout: 8x8-pixel tiles, empty tiles skipped."""
-    B, F = face_vertices.shape[:2]
-    face = face_vertices.reshape(B, F, 9)
-    T = textures.shape[2] if p.texture_type_id == 0 else 3
-    tex = textures.reshape(B, F, T * 3)
+def _work_gather_pf(lists, counts, cap, w_cap, B, F, NT, TX, arrays):
+    """Work-list expansion shared by the fwd/bwd and threshold kernels.
 
-    face_inv, face_sym, face_obt = G.face_info_preprocess(face)
-    front = G.check_face_frontside(face).astype(jnp.float32)[..., None]
-
-    is_ = p.image_size
-    t = _pf_tile_for(is_)
-    TY = TX = is_ // t
-    NT = TY * TX
+    counts: [B, NT] per-tile face counts to expand (may be a masked copy
+    of lists.counts — tiles with count 0 emit no work).  arrays: per-face
+    [B, F, C] tensors to gather per chunk; the FIRST one (the face
+    coordinates) gets SENTINEL masking on padded lanes.  Returns
+    (prefetch scalars, ids_w [W,1,FB], gathered [W,C,FB] tensors)."""
     FB = PF_FB
-    lists = build_tile_lists(face, is_, t, t, cap, p.threshold)
-    work = build_work_list(lists.counts, cap, FB, w_cap, skip_empty=True)
-    report_overflow(lists.counts, cap, work.num_items, w_cap,
-                    where=f'softras px_f {is_}px')
+    work = build_work_list(counts, cap, FB, w_cap, skip_empty=True)
 
     total = work.num_items
     last_real = jnp.maximum(total - 1, 0)
@@ -1124,19 +1197,45 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
         # [W, FB, C] -> [W, C, FB]: lanes carry faces inside the kernel
         return jnp.swapaxes(a, 1, 2)
 
-    g_face = tr(jnp.where((ids_w < 0)[..., None], SENTINEL, g(face)))
-    g_inv, g_sym, g_obt, g_front, g_tex = tr(g(face_inv)), tr(g(face_sym)), \
-        tr(g(face_obt)), tr(g(front)), tr(g(tex))
+    gathered = [tr(jnp.where((ids_w < 0)[..., None], SENTINEL, g(arrays[0])))]
+    gathered += [tr(g(a)) for a in arrays[1:]]
 
     t_in_b = tile - b_of * NT
     out_ty = t_in_b // TX
     out_tx = t_in_b - out_ty * TX
     active = in_range.astype(jnp.int32)
+    scalars = (b_of, out_ty, out_tx, first, last, active)
+    return scalars, ids_w[:, None, :].astype(jnp.int32), gathered, total
+
+
+def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
+    """Pre-pass for the px_f layout: 8x8-pixel tiles, empty tiles skipped."""
+    B, F = face_vertices.shape[:2]
+    face = face_vertices.reshape(B, F, 9)
+    T = textures.shape[2] if p.texture_type_id == 0 else 3
+    tex = textures.reshape(B, F, T * 3)
+
+    face_inv, face_sym, face_obt = G.face_info_preprocess(face)
+    front = G.check_face_frontside(face).astype(jnp.float32)[..., None]
+
+    is_ = p.image_size
+    t = _pf_tile_for(is_)
+    TY = TX = is_ // t
+    NT = TY * TX
+    lists = build_tile_lists(face, is_, t, t, cap, p.threshold)
+    scalars, ids_w, gathered, total = _work_gather_pf(
+        lists, lists.counts, cap, w_cap, B, F, NT, TX,
+        (face, face_inv, face_sym, face_obt, front, tex))
+    report_overflow(lists.counts, cap, total, w_cap,
+                    where=f'softras px_f {is_}px')
+    g_face, g_inv, g_sym, g_obt, g_front, g_tex = gathered
+    b_of, out_ty, out_tx, first, last, active = scalars
 
     covered = (lists.counts > 0).reshape(B, TY, TX)
-    return (ids_w[:, None, :].astype(jnp.int32), g_face, g_inv, g_sym, g_obt,
+    per_face = (face, face_inv, face_sym, face_obt)
+    return (ids_w, g_face, g_inv, g_sym, g_obt,
             g_front, g_tex, b_of, out_ty, out_tx, first, last, active,
-            lists, covered, T)
+            lists, covered, T, per_face)
 
 
 def _work_cap_pf(F: int, n_tiles: int, B: int) -> int:
@@ -1157,7 +1256,7 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
     w_cap = _work_cap_pf(F, TY * TX, B)
 
     (ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
-     out_b, out_ty, out_tx, first, last, active, lists, covered, T) = \
+     out_b, out_ty, out_tx, first, last, active, lists, covered, T, _) = \
         _prep_work_data_pf(face_vertices, textures, p, cap, w_cap)
 
     FB = PF_FB
@@ -1180,10 +1279,15 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
                      lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
                      (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, t, t),
+                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
+                     (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((B, 4, NT, t, t), jnp.float32),
         jax.ShapeDtypeStruct((B, 2, NT, t, t), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, NT, t, t), jnp.float32),
     ]
     scratch = [
         pltpu.VMEM((3, t, t), jnp.float32),
@@ -1192,6 +1296,7 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
         pltpu.VMEM((t, t), jnp.float32),
         pltpu.VMEM((t, t), jnp.float32),
         pltpu.VMEM((t, t), jnp.int32),
+        pltpu.VMEM((t, t), jnp.float32),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1203,7 +1308,7 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
         scratch_shapes=scratch,
     )
 
-    out_t, aggrs_t = pl.pallas_call(
+    out_t, aggrs_t, cnt_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
@@ -1229,13 +1334,17 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
     else:
         ag_init = jnp.asarray([BIG_DEPTH, -1.0], jnp.float32)
     aggrs = jnp.where(mask, aggrs, ag_init[None, :, None, None])
-    return out, aggrs, lists.ids
+    # third output: per-pixel top-K candidate count [B,H,W] — the
+    # backward's cheap trigger for the K-truncation threshold pass
+    cnt = jnp.where(mask[:, 0], untile(cnt_t)[:, 0], 0.0)
+    return out, aggrs, cnt
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
 def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
-                                 aggrs_info, tile_ids, grad_soft_colors,
+                                 aggrs_info, cand_cnt, grad_soft_colors,
                                  p: SoftRasParams):
+    """cand_cnt is the forward's per-pixel top-K candidate count [B,H,W]."""
     B, F = face_vertices.shape[:2]
     is_ = p.image_size
     t = _pf_tile_for(is_)
@@ -1245,11 +1354,15 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
     w_cap = _work_cap_pf(F, TY * TX, B)
 
     (ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
-     out_b, out_ty, out_tx, first, last, active, lists, covered, T) = \
-        _prep_work_data_pf(face_vertices, textures, p, cap, w_cap)
+     out_b, out_ty, out_tx, first, last, active, lists, covered, T,
+     per_face) = _prep_work_data_pf(face_vertices, textures, p, cap, w_cap)
 
     FB = PF_FB
-    kernel = _make_bwd_kernel_pf(p, T, F)
+    # reference top-K gradient truncation: only needed when some pixel has
+    # more than K candidates — lax.cond skips the whole threshold sweep at
+    # runtime for ordinary meshes (cand_cnt is the forward's exact count)
+    use_thr = p.grad_mode == 'topk' and p.max_faces_id < F
+    kernel = _make_bwd_kernel_pf(p, T, F, use_thr=use_thr)
 
     def in_spec(c):
         return pl.BlockSpec((1, c, FB),
@@ -1272,6 +1385,59 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
     aggrs_info = tile_px(aggrs_info)
     grad_soft_colors = tile_px(grad_soft_colors)
 
+    thr_inputs = []
+    thr_specs = []
+    if use_thr:
+        # tiles where no pixel exceeds K candidates keep thr=BIG (their
+        # untruncated gradient IS the top-K gradient); the sweep's work
+        # list covers only overflowing tiles — usually a silhouette-band
+        # fraction of the screen
+        tile_over = (cand_cnt.reshape(B, TY, t, TX, t).max(axis=(2, 4))
+                     > p.max_faces_id).reshape(B, NT)
+
+        def _thr_map():
+            counts_thr = jnp.where(tile_over, lists.counts, 0)
+            (tsc, tids, tg, _) = _work_gather_pf(
+                lists, counts_thr, cap, w_cap, B, F, NT, TX, per_face)
+            tb, tty, ttx, tfirst, tlast, tact = tsc
+            tface, tinv, tsym, tobt = tg
+            tk = _make_topk_thr_kernel_pf(p, F)
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=6,
+                grid=(w_cap,),
+                in_specs=[in_spec(1), in_spec(9), in_spec(9), in_spec(9),
+                          in_spec(3)],
+                out_specs=[pl.BlockSpec(
+                    (1, 1, 1, t, t),
+                    lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
+                    (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
+                    memory_space=pltpu.VMEM)],
+                scratch_shapes=[pltpu.VMEM((t, t, p.max_faces_id),
+                                           jnp.float32)],
+            )
+            (thr_t,) = pl.pallas_call(
+                tk, grid_spec=gs,
+                out_shape=[jax.ShapeDtypeStruct((B, 1, NT, t, t),
+                                                jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=120 * 1024 * 1024),
+                interpret=not _is_tpu(),
+            )(tb, tty, ttx, tfirst, tlast, tact,
+              tids, tface, tinv, tsym, tobt)
+            thr = thr_t.reshape(B, 1, TY, TX, t, t).transpose(0, 1, 2, 4, 3, 5) \
+                .reshape(B, 1, is_, is_)
+            cmask = jnp.repeat(jnp.repeat(
+                (tile_over & (lists.counts > 0)).reshape(B, TY, TX), t, 1),
+                t, 2)[:, None]
+            return jnp.where(cmask, thr, BIG_DEPTH)
+
+        need = jnp.any(tile_over)
+        thr_map = jax.lax.cond(
+            need, _thr_map,
+            lambda: jnp.full((B, 1, is_, is_), BIG_DEPTH, jnp.float32))
+        thr_inputs = [tile_px(thr_map)]
+        thr_specs = [px_spec(1)]
+
     out_specs = [
         pl.BlockSpec((1, 9, FB),
                      lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
@@ -1290,7 +1456,7 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
         grid=(w_cap,),
         in_specs=[in_spec(1), in_spec(9), in_spec(9), in_spec(9), in_spec(3),
                   in_spec(1), in_spec(g_tex.shape[-1]),
-                  px_spec(4), px_spec(2), px_spec(4)],
+                  px_spec(4), px_spec(2), px_spec(4)] + thr_specs,
         out_specs=out_specs,
         scratch_shapes=[],
     )
@@ -1302,7 +1468,8 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=not _is_tpu(),
     )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
-      g_obt, g_front, g_tex, soft_colors, aggrs_info, grad_soft_colors)
+      g_obt, g_front, g_tex, soft_colors, aggrs_info, grad_soft_colors,
+      *thr_inputs)
 
     ids_w = ids[:, 0, :]                                         # [W, FB]
     seg = jnp.where(ids_w >= 0, out_b[:, None] * F + ids_w, B * F)

@@ -166,6 +166,208 @@ class TestBackwardParity:
         np.testing.assert_allclose(gt_p, gt_j, atol=2e-3 * tscale, rtol=2e-3)
 
 
+class TestPxFParity:
+    """Production px_f layout vs the jnp oracle — full config sweep at two
+    tile sizes (32 -> 32/16-px tiles, 24 -> 8-px tiles)."""
+
+    def _run_pf(self, fv, tex, p):
+        out_j, ag_j, _ = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        out_p, ag_p, cnt = pallas_impl.soft_rasterize_fwd_pallas_pf(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        return (np.asarray(out_j), np.asarray(out_p), np.asarray(ag_j),
+                np.asarray(ag_p), cnt)
+
+    @pytest.mark.parametrize('is_', [32, 24])
+    @pytest.mark.parametrize('dist_func', ['euclidean', 'barycentric', 'hard'])
+    def test_fwd_parity_dist(self, dist_func, is_, rng):
+        p = make_params(image_size=is_, sigma_val=1e-3, gamma_val=1e-3,
+                        dist_func=dist_func)
+        fv = make_random_mesh(rng, num_faces=40).reshape(1, 40, 9)
+        tex = rng.uniform(size=(1, 40, 4, 3)).astype(np.float32)
+        oj, op, aj, ap, _ = self._run_pf(fv, tex, p)
+        assert_images_close(op, oj)
+        # alpha tolerance: the pf kernel reduces the (1-sf) product as a
+        # pairwise tree (vs the oracle's sequential product) -> f32
+        # reassociation drift up to ~2e-4 over 40 mid-range factors
+        np.testing.assert_allclose(op[:, 3], oj[:, 3], atol=5e-4, rtol=1e-4)
+        np.testing.assert_allclose(ap, aj, atol=5e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize('alpha_func', ['prod', 'sum', 'hard'])
+    def test_fwd_parity_alpha(self, alpha_func, rng):
+        p = make_params(image_size=32, sigma_val=1e-3,
+                        aggr_func_alpha=alpha_func)
+        fv = make_random_mesh(rng, num_faces=24).reshape(1, 24, 9)
+        tex = rng.uniform(size=(1, 24, 4, 3)).astype(np.float32)
+        oj, op, _, _, _ = self._run_pf(fv, tex, p)
+        np.testing.assert_allclose(op[:, 3], oj[:, 3], atol=5e-4, rtol=1e-4)
+
+    def test_fwd_parity_hard_rgb(self, rng):
+        p = make_params(image_size=32, dist_func='hard', aggr_func_rgb='hard',
+                        aggr_func_alpha='hard')
+        fv = make_random_mesh(rng, num_faces=24).reshape(1, 24, 9)
+        tex = rng.uniform(size=(1, 24, 4, 3)).astype(np.float32)
+        oj, op, aj, ap, _ = self._run_pf(fv, tex, p)
+        assert_images_close(op, oj)
+        np.testing.assert_allclose(ap[:, 0], aj[:, 0], atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(ap[:, 1], aj[:, 1])
+
+    def test_fwd_parity_vertex_texture(self, rng):
+        p = make_params(image_size=32, sigma_val=1e-3, texture_type='vertex')
+        fv = make_random_mesh(rng, num_faces=24).reshape(1, 24, 9)
+        tex = rng.uniform(size=(1, 24, 3, 3)).astype(np.float32)
+        oj, op, _, _, _ = self._run_pf(fv, tex, p)
+        assert_images_close(op, oj)
+
+    def test_candidate_count_matches_oracle(self, rng):
+        """The forward's cnt output must equal the oracle's per-pixel
+        number of valid faces_id entries (when F <= K none are cut)."""
+        F = 24
+        p = make_params(image_size=32, sigma_val=1e-3,
+                        max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        _, _, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        _, _, cnt = pallas_impl.soft_rasterize_fwd_pallas_pf(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        np.testing.assert_array_equal(np.asarray(cnt[0]),
+                                      np.asarray((fid_j[0] >= 0).sum(0)))
+
+    def _grads_both_pf(self, fv, tex, p, rng, is_=32):
+        g = rng.randn(1, 4, is_, is_).astype(np.float32)
+        out_j, ag_j, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        gf_j, gt_j = jax_impl.soft_rasterize_bwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j,
+            jnp.asarray(g), p)
+        out_p, ag_p, cnt = pallas_impl.soft_rasterize_fwd_pallas_pf(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        gf_p, gt_p = pallas_impl.soft_rasterize_bwd_pallas_pf(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, cnt,
+            jnp.asarray(g), p)
+        return map(np.asarray, (gf_j, gt_j, gf_p, gt_p))
+
+    @pytest.mark.parametrize('is_', [32, 24])
+    @pytest.mark.parametrize('dist_func', ['euclidean', 'barycentric'])
+    def test_bwd_parity_T1(self, dist_func, is_, rng):
+        F = 24
+        p = make_params(image_size=is_, sigma_val=1e-3, gamma_val=1e-3,
+                        dist_func=dist_func, max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 1, 3)).astype(np.float32)
+        gf_j, gt_j, gf_p, gt_p = self._grads_both_pf(fv, tex, p, rng, is_)
+        scale = np.abs(gf_j).max()
+        np.testing.assert_allclose(gf_p, gf_j, atol=2e-3 * scale, rtol=2e-3)
+        tscale = max(np.abs(gt_j).max(), 1e-6)
+        np.testing.assert_allclose(gt_p, gt_j, atol=2e-3 * tscale, rtol=2e-3)
+
+    def test_bwd_parity_T4_statistical(self, rng):
+        rng = np.random.RandomState(7)
+        F = 24
+        p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                        max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        gf_j, gt_j, gf_p, gt_p = self._grads_both_pf(fv, tex, p, rng)
+        scale = np.abs(gf_j).max()
+        assert (np.abs(gf_p - gf_j) > 2e-3 * scale).mean() < 0.08
+        np.testing.assert_allclose(
+            gt_p.sum(axis=2), gt_j.sum(axis=2),
+            atol=2e-3 * max(np.abs(gt_j).max(), 1e-6), rtol=2e-3)
+
+    def test_bwd_parity_vertex(self, rng):
+        F = 16
+        p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                        texture_type='vertex', max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 3, 3)).astype(np.float32)
+        gf_j, gt_j, gf_p, gt_p = self._grads_both_pf(fv, tex, p, rng)
+        scale = np.abs(gf_j).max()
+        np.testing.assert_allclose(gf_p, gf_j, atol=2e-3 * scale, rtol=2e-3)
+        tscale = max(np.abs(gt_j).max(), 1e-6)
+        np.testing.assert_allclose(gt_p, gt_j, atol=2e-3 * tscale, rtol=2e-3)
+
+    def test_bwd_parity_hard_rgb(self, rng):
+        F = 16
+        p = make_params(image_size=32, dist_func='hard', aggr_func_rgb='hard',
+                        aggr_func_alpha='hard', max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        gf_j, gt_j, gf_p, gt_p = self._grads_both_pf(fv, tex, p, rng)
+        np.testing.assert_allclose(gf_p, gf_j, atol=1e-5)
+        tscale = max(np.abs(gt_j).max(), 1e-6)
+        np.testing.assert_allclose(gt_p, gt_j, atol=2e-3 * tscale, rtol=2e-3)
+
+
+class TestTopKTruncation:
+    """grad_mode='topk' (reference default, soft_rasterize.py:369-385,
+    1233-1359) must truncate gradients to the K nearest faces per pixel;
+    'full' must not.  K=4 over 40 overlapping faces makes it bind."""
+
+    def _setup(self, grad_mode, K=4, F=40):
+        rng = np.random.RandomState(0)
+        p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                        max_faces_per_pixel_for_grad=K, grad_mode=grad_mode)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        g = rng.randn(1, 4, 32, 32).astype(np.float32)
+        return p, fv, tex, g
+
+    def _pf_grads(self, p, fv, tex, g):
+        out_p, ag_p, cnt = pallas_impl.soft_rasterize_fwd_pallas_pf(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        assert float(cnt.max()) > p.max_faces_id  # truncation binds
+        return map(np.asarray, pallas_impl.soft_rasterize_bwd_pallas_pf(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, cnt,
+            jnp.asarray(g), p))
+
+    def test_topk_matches_oracle_topk(self):
+        p, fv, tex, g = self._setup('topk')
+        out_j, ag_j, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        gf_j, gt_j = map(np.asarray, jax_impl.soft_rasterize_bwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j,
+            jnp.asarray(g), p))
+        gf_p, gt_p = self._pf_grads(p, fv, tex, g)
+        scale = np.abs(gf_j).max()
+        assert (np.abs(gf_p - gf_j) > 2e-3 * scale).mean() < 0.08
+        np.testing.assert_allclose(
+            gt_p.sum(axis=2), gt_j.sum(axis=2),
+            atol=2e-3 * max(np.abs(gt_j).max(), 1e-6), rtol=2e-3)
+
+    def test_topk_differs_from_full(self):
+        p_t, fv, tex, g = self._setup('topk')
+        p_f, _, _, _ = self._setup('full')
+        gf_t, _ = self._pf_grads(p_t, fv, tex, g)
+        gf_f, _ = self._pf_grads(p_f, fv, tex, g)
+        # truncation must remove gradient mass somewhere
+        assert np.abs(gf_t - gf_f).max() > 1e-3 * np.abs(gf_f).max()
+        # and full-mode jnp (K=F) agrees with full-mode pallas
+        F = fv.shape[1]
+        p_jf = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                           max_faces_per_pixel_for_grad=F, grad_mode='full')
+        out_j, ag_j, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p_jf)
+        gf_j, _ = map(np.asarray, jax_impl.soft_rasterize_bwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j,
+            jnp.asarray(g), p_jf))
+        scale = np.abs(gf_j).max()
+        assert (np.abs(gf_f - gf_j) > 2e-3 * scale).mean() < 0.08
+
+    def test_api_topk_dispatch_non_tileable(self):
+        """Non-tileable sizes route a binding topk to the oracle."""
+        from jrender_tpu.ops.softras import api
+        F, K = 12, 4
+        p = make_params(image_size=20, max_faces_per_pixel_for_grad=K)
+        assert api._pallas_route(p, F) == 'jax'
+        p_full = make_params(image_size=20, max_faces_per_pixel_for_grad=K,
+                             grad_mode='full')
+        assert api._pallas_route(p_full, F) == 'f_px'
+        p_ok = make_params(image_size=32, max_faces_per_pixel_for_grad=K)
+        assert api._pallas_route(p_ok, F) == 'px_f'
+
+
 def test_custom_vjp_pallas_backend(rng):
     import jax
     from jrender_tpu.ops.softras.api import soft_rasterize
