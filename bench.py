@@ -75,22 +75,31 @@ def main():
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def many(x, t, n):
+        # The carry perturbs the inputs below f32 resolution each step so
+        # the per-iteration grad is NOT loop-invariant — XLA must execute
+        # it n times (a carry-free body gets hoisted out of the scan and
+        # times 1/n of the real cost).
         def body(c, _):
-            gf, gt = grad_fn(x, t)
-            return c + gf[0, 0, 0], None
+            gf, gt = grad_fn(x * (1.0 + c), t)
+            return c + gf[0, 0, 0] * 1e-32, None
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
         return c
 
-    # warmup / compile
-    c = many(fv, tex, 3)
-    assert np.isfinite(float(c)), 'non-finite gradients'
+    # warmup / compile (both trip counts)
+    n1, n2 = 2, 12
+    assert np.isfinite(float(many(fv, tex, n1))), 'non-finite gradients'
+    float(many(fv, tex, n2))
 
+    # two-point timing cancels the constant dispatch/tunnel overhead:
+    # per-frame = (T(n2) - T(n1)) / (n2 - n1)
     best = np.inf
-    iters = 5
     for _ in range(3):
         t0 = time.time()
-        float(many(fv, tex, iters))
-        best = min(best, (time.time() - t0) / iters * 1e3)
+        float(many(fv, tex, n1))
+        t1 = time.time()
+        float(many(fv, tex, n2))
+        t2 = time.time()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3)
 
     print(json.dumps({
         'metric': f'softras_fwd_bwd_{IMAGE_SIZE}px_{F}faces',

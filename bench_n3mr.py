@@ -63,21 +63,27 @@ def main():
 
         @functools.partial(jax.jit, static_argnums=(2,))
         def many(x, t, n):
+            # carry-dependent inputs defeat loop-invariant hoisting (see
+            # bench.py): the grad must actually run n times
             def body(c, _):
-                gf, gt = grad_fn(x, t)
-                return c + gf[0, 0, 0] + gt[0, 0, 0, 0, 0, 0], None
+                gf, gt = grad_fn(x * (1.0 + c), t)
+                return c + (gf[0, 0, 0] + gt[0, 0, 0, 0, 0, 0]) * 1e-32, None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return c
 
-        c = many(fv, tex, 3)   # warmup / compile
-        assert np.isfinite(float(c)), 'non-finite gradients'
+        n1, n2 = 2, 12
+        assert np.isfinite(float(many(fv, tex, n1))), 'non-finite gradients'
+        float(many(fv, tex, n2))
 
+        # two-point timing cancels constant dispatch/tunnel overhead
         best = np.inf
-        iters = 5
         for _ in range(3):
             t0 = time.time()
-            float(many(fv, tex, iters))
-            best = min(best, (time.time() - t0) / iters * 1e3)
+            float(many(fv, tex, n1))
+            t1 = time.time()
+            float(many(fv, tex, n2))
+            t2 = time.time()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3)
 
         base = BASELINES[name]
         print(json.dumps({

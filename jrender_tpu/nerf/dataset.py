@@ -134,94 +134,112 @@ def load_blender_data(basedir, half_res=False, testskip=1, factor=1,
 
 # -- LLFF -------------------------------------------------------------------
 
-def _normalize(x):
-    return x / np.linalg.norm(x)
+# LLFF pose conventions (c2w columns = [right(x), up(y), forward(z),
+# origin], trailing 5th column = [H, W, focal]) follow the public LLFF
+# data-loading recipe that the reference also builds on
+# (/root/reference/nerf_helper/load_llff.py); the code below is our own
+# vectorized homogeneous-matrix formulation of that recipe.
+
+def _unit(v):
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
-def _viewmatrix(z, up, pos):
-    vec2 = _normalize(z)
-    vec0 = _normalize(np.cross(up, vec2))
-    vec1 = _normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
+def _look_frames(forward, up_hint, origin):
+    """Orthonormal c2w frames from forward axes + an up hint.
+
+    All arguments broadcast over a leading batch dim; returns [..., 3, 4]
+    with columns [right, true_up, forward, origin]."""
+    fwd = _unit(forward)
+    right = _unit(np.cross(up_hint, fwd))
+    true_up = _unit(np.cross(fwd, right))
+    return np.stack([right, true_up, fwd, origin], axis=-1)
 
 
-def _poses_avg(poses):
-    hwf = poses[0, :3, -1:]
-    center = poses[:, :3, 3].mean(0)
-    vec2 = _normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    return np.concatenate([_viewmatrix(vec2, up, center), hwf], 1)
+def _to_h(p34):
+    """[..., 3, 4] -> homogeneous [..., 4, 4]."""
+    bottom = np.broadcast_to(np.array([0.0, 0.0, 0.0, 1.0]),
+                             p34.shape[:-2] + (1, 4))
+    return np.concatenate([p34, bottom], axis=-2)
+
+
+def _mean_pose(poses):
+    """Average camera: mean origin, summed forward/up axes.  poses is
+    [N, 3, 5] (pose | hwf); returns the same [3, 5] layout."""
+    frame = _look_frames(poses[:, :3, 2].sum(0), poses[:, :3, 1].sum(0),
+                         poses[:, :3, 3].mean(0))
+    return np.concatenate([frame, poses[0, :3, -1:]], axis=1)
 
 
 def _render_path_spiral(c2w, up, rads, focal, zdelta, zrate, rots, N):
-    render_poses = []
-    rads = np.array(list(rads) + [1.0])
-    hwf = c2w[:, 4:5]
-    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
-        c = np.dot(c2w[:3, :4],
-                   np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0]) * rads)
-        z = _normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-        render_poses.append(np.concatenate([_viewmatrix(z, up, c), hwf], 1))
-    return render_poses
+    """Camera path spiraling about the average pose, looking through a
+    fixed focus point on its optical axis.  Vectorized over the path."""
+    theta = np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]
+    offsets = np.stack([np.cos(theta), -np.sin(theta),
+                        -np.sin(theta * zrate), np.ones_like(theta)], -1)
+    offsets = offsets * np.array(list(rads) + [1.0])
+    origins = offsets @ c2w[:3, :4].T                       # [N, 3]
+    focus = c2w[:3, :4] @ np.array([0.0, 0.0, -focal, 1.0])
+    frames = _look_frames(origins - focus, np.broadcast_to(up, origins.shape),
+                          origins)
+    hwf = np.broadcast_to(c2w[:, 4:5], frames.shape[:1] + (3, 1))
+    return list(np.concatenate([frames, hwf], axis=-1))
 
 
 def _recenter_poses(poses):
-    poses_ = poses + 0
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = _poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-    poses4 = np.concatenate([poses[:, :3, :4], bottom], -2)
-    poses4 = np.linalg.inv(c2w) @ poses4
-    poses_[:, :3, :4] = poses4[:, :3, :4]
-    return poses_
+    """Re-express every pose in the average camera's frame."""
+    world_from_avg = _to_h(_mean_pose(poses)[:3, :4])
+    rebased = np.linalg.inv(world_from_avg) @ _to_h(poses[:, :3, :4])
+    out = poses.copy()
+    out[:, :3, :4] = rebased[:, :3, :4]
+    return out
 
 
 def _spherify_poses(poses, bds):
-    def p34_to_44(p):
-        return np.concatenate(
-            [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]), [p.shape[0], 1, 1])], 1)
+    """Normalize an inward-facing capture onto the unit sphere and make a
+    circular render path at the cameras' mean height."""
+    # Least-squares point nearest all optical axes: for each camera with
+    # origin o and forward d, project out d (P = I - d d^T) and solve
+    # mean(P^T P) x = mean(P^T P o).
+    fwd = poses[:, :3, 2:3]
+    origin = poses[:, :3, 3:4]
+    P = np.eye(3) - fwd * np.transpose(fwd, (0, 2, 1))
+    center = np.squeeze(np.linalg.inv((np.transpose(P, (0, 2, 1)) @ P).mean(0))
+                        @ (P @ origin).mean(0))
 
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
+    # World frame whose z points along the capture's mean up direction
+    # (the [.1,.2,.3] cross partner is the LLFF-canonical tie-break).
+    zaxis = _unit((poses[:, :3, 3] - center).mean(0))
+    xaxis = _unit(np.cross([0.1, 0.2, 0.3], zaxis))
+    yaxis = _unit(np.cross(zaxis, xaxis))
+    frame = np.stack([xaxis, yaxis, zaxis, center], axis=1)
 
-    A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-    b_i = -A_i @ rays_o
-    pt_mindist = np.squeeze(-np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0))
-                            @ (b_i).mean(0))
-    center = pt_mindist
-    up = (poses[:, :3, 3] - center).mean(0)
+    rebased = np.linalg.inv(_to_h(frame[None])) @ _to_h(poses[:, :3, :4])
+    rebased = rebased[:, :3, :4].copy()
+    radius = np.sqrt(np.mean(np.sum(rebased[:, :3, 3] ** 2, -1)))
+    rebased[:, :3, 3] /= radius
+    bds = bds / radius
 
-    vec0 = _normalize(up)
-    vec1 = _normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = _normalize(np.cross(vec0, vec1))
-    c2w = np.stack([vec1, vec2, vec0, center], 1)
+    # Circular path: ring of radius sqrt(1 - h^2) at the mean camera
+    # height h, cameras facing radially outward.  LLFF builds this frame
+    # as right = cross(fwd, -z); with _look_frames' right = cross(hint,
+    # fwd) convention that is the +z hint.
+    height = np.mean(rebased[:, :3, 3], 0)[2]
+    ring_r = np.sqrt(1.0 - height ** 2)
+    th = np.linspace(0.0, 2.0 * np.pi, 120)
+    ring = np.stack([ring_r * np.cos(th), ring_r * np.sin(th),
+                     np.full_like(th, height)], -1)
+    path = _look_frames(ring, np.array([0.0, 0.0, 1.0]), ring)
 
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
-    sc = 1.0 / rad
-    poses_reset[:, :3, 3] *= sc
-    bds = bds * sc
-    rad *= sc
+    hwf = poses[0, :3, -1:]
+    path = np.concatenate(
+        [path, np.broadcast_to(hwf, path.shape[:1] + (3, 1))], -1)
+    rebased = np.concatenate(
+        [rebased, np.broadcast_to(hwf, rebased.shape[:1] + (3, 1))], -1)
+    return rebased, path, bds
 
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(rad ** 2 - zh ** 2)
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
-        up2 = np.array([0, 0, -1.0])
-        vec2 = _normalize(camorigin)
-        vec0 = _normalize(np.cross(vec2, up2))
-        vec1 = _normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
-    new_poses = np.stack(new_poses, 0)
-    new_poses = np.concatenate(
-        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1)
-    poses_reset = np.concatenate(
-        [poses_reset[:, :3, :4],
-         np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)], -1)
-    return poses_reset, new_poses, bds
+
+def _poses_avg(poses):  # retained name used by load_llff_data below
+    return _mean_pose(poses)
 
 
 def _minify(basedir, factors=(), resolutions=()):

@@ -59,25 +59,36 @@ def _forward(faces, textures, p: N3mrParams):
     from ..softras.pallas_impl import _pf_tile_for
     use_pallas = _BACKEND == 'pallas' or (
         _BACKEND == 'auto' and _pf_tile_for(is_) > 0)
+    rgb = zc = texrow = None
     if use_pallas:
         from . import pallas_impl
-        fi, wt, dp, finv = pallas_impl.forward_maps_pallas(
-            face9, is_, p.near, p.far)
+        ts = textures.shape[2]
+        n_tex = ts ** 3 * 3
+        sel_tex = (p.return_rgb and n_tex <= pallas_impl.MAX_TEX_SEL)
+        fi, wt, dp, finv, zc, texrow = pallas_impl.forward_sel_pallas(
+            face9, textures.reshape(B, -1, n_tex) if sel_tex else None,
+            is_, p.near, p.far)
+        if p.return_rgb and texrow is not None:
+            rgb = jax.vmap(lambda tr_, a, b, c, d: impl.trilinear_rgb_from_rows(
+                tr_, a, b, c, d, ts, p.eps))(texrow, fi, wt, dp, zc)
     else:
         fi, wt, dp, finv = jax.vmap(
             lambda f: impl.forward_maps_single(f, is_, p.near, p.far))(face9)
 
     if p.return_rgb:
-        rgb, zc = jax.vmap(
-            lambda f, t, a, b, c: impl.trilinear_rgb_from_maps(f, t, a, b, c, p.eps)
-        )(face9, textures, fi, wt, dp)
+        if rgb is None:
+            rgb, zc = jax.vmap(
+                lambda f, t, a, b, c: impl.trilinear_rgb_from_maps(
+                    f, t, a, b, c, p.eps)
+            )(face9, textures, fi, wt, dp)
         bg = jnp.asarray(p.background_color, jnp.float32)
         mask = (fi >= 0).astype(jnp.float32)[..., None]
         rgb = rgb * mask + (1 - mask) * bg
     else:
         rgb = jnp.zeros((B, is_, is_, 3))
-        f_safe = jnp.maximum(fi, 0)
-        zc = jax.vmap(lambda f, i: f[:, 2::3][i])(face9, f_safe)
+        if zc is None:
+            f_safe = jnp.maximum(fi, 0)
+            zc = jax.vmap(lambda f, i: f[:, 2::3][i])(face9, f_safe)
 
     alpha = (fi >= 0).astype(jnp.float32)
     out = (rgb, alpha, dp)
@@ -128,6 +139,9 @@ _rasterize_core.defvjp(_core_fwd, _core_bwd)
 def vertices_to_faces(vertices, faces):
     """[B,V,3],[B,F,3] -> [B,F,3,3] (rasterizer.py:9-24)."""
     assert vertices.ndim == 3 and faces.ndim == 3
+    # barrier: batched gathers over two compile-time constants miscompile
+    # on the TPU backend (see structures.mesh.face_vertices)
+    vertices, faces = jax.lax.optimization_barrier((vertices, faces))
     return jax.vmap(lambda v, f: v[f])(vertices, faces)
 
 

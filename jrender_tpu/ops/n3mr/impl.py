@@ -271,6 +271,35 @@ def trilinear_rgb_from_maps(face, tex, face_index, weight, depth, eps):
     return rgb.reshape(H, W, 3), zcorn.reshape(H, W, 3)
 
 
+def trilinear_rgb_from_rows(texrow, face_index, weight, depth, zcorn, ts, eps):
+    """Trilinear fetch when the winner's texture row was already selected
+    in-kernel (pallas_impl.forward_sel_pallas) — zero gathers, pure
+    elementwise tent-weight contraction.  texrow: [H,W,ts^3*3]."""
+    H, W = face_index.shape
+    has = (face_index >= 0).reshape(-1)
+    texr = texrow.reshape(-1, ts * ts * ts * 3)
+    if ts == 1:
+        rgb = texr
+    else:
+        wt = weight.reshape(-1, 3)
+        dp = depth.reshape(-1)
+        zs = zcorn.reshape(-1, 3)
+        tif = sampling_tif(wt, dp, zs, ts, eps)             # [P,3]
+        grid = jnp.arange(ts, dtype=tif.dtype)[None, :]
+        tw = [jnp.maximum(0.0, 1.0 - jnp.abs(tif[:, a:a + 1] - grid))
+              for a in range(3)]                            # 3 x [P,ts]
+        c1 = ts * ts * 3
+        t1 = sum(tw[0][:, i:i + 1] * texr[:, i * c1:(i + 1) * c1]
+                 for i in range(ts))
+        c2 = ts * 3
+        t2 = sum(tw[1][:, j:j + 1] * t1[:, j * c2:(j + 1) * c2]
+                 for j in range(ts))
+        rgb = sum(tw[2][:, k:k + 1] * t2[:, k * 3:(k + 1) * 3]
+                  for k in range(ts))
+    rgb = jnp.where(has[:, None], rgb, 0.0)
+    return rgb.reshape(H, W, 3)
+
+
 def backward_textures_single(tex_shape, face_index, weight, depth, zcorn,
                              grad_rgb, eps):
     """Deterministic segment-sum texture gradient (rasterize.py:660-694).

@@ -30,12 +30,29 @@ BIG_DEPTH = 1e30
 SENTINEL = 1e6
 
 
-def _make_maps_kernel(is_: int, near: float, far: float, t: int):
-    """Grid: one step per (tile, face-chunk) work item; tiles revisit."""
+def _make_maps_kernel(is_: int, near: float, far: float, t: int,
+                      n_tex: int = 0):
+    """Grid: one step per (tile, face-chunk) work item; tiles revisit.
+
+    Besides the (z, face_id) maps, the kernel SELECTS the winning face's
+    per-face data in place (STATUS round-2 design): a matrix stacking
+    [inv9 | corner z3 | texture rows | ones] is contracted with the
+    (onehot * updated) mask on the MXU — delta[C, pix] = mat[C, FB] @
+    sel[pix, FB]^T — and accumulated as acc*(1-hit)+delta, where the ones
+    row doubles as the per-pixel hit flag.  This removes every O(pixels)
+    winner gather from the XLA post-pass (the round-1 bottleneck:
+    ~70 ms of row gathers at 1024²)."""
+    C_sel = 9 + 3 + n_tex + 1
+    C_pad = (C_sel + 7) // 8 * 8        # Mosaic block sublane alignment
 
     def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
-               ids_ref, face_ref, inv_ref, front_ref,
-               out_ref, acc_z, acc_f):
+               *refs):
+        if n_tex:
+            (ids_ref, face_ref, inv_ref, front_ref, tex_ref,
+             out_ref, sel_ref, acc_z, acc_f, acc_sel) = refs
+        else:
+            (ids_ref, face_ref, inv_ref, front_ref,
+             out_ref, sel_ref, acc_z, acc_f, acc_sel) = refs
         i = pl.program_id(0)
         ty = ty_s[i]
         tx = tx_s[i]
@@ -44,6 +61,7 @@ def _make_maps_kernel(is_: int, near: float, far: float, t: int):
         def _init():
             acc_z[:] = jnp.full((t, t), BIG_DEPTH, jnp.float32)
             acc_f[:] = jnp.full((t, t), -1.0, jnp.float32)
+            acc_sel[:] = jnp.zeros((C_pad, t * t), jnp.float32)
 
         @pl.when(act_s[i] == 1)
         def _merge():
@@ -87,34 +105,55 @@ def _make_maps_kernel(is_: int, near: float, far: float, t: int):
             w1 = jnp.clip(w1, 0.0, 1.0)
             w2 = jnp.clip(w2, 0.0, 1.0)
             wsum = w0 + w1 + w2
-            w0 = w0 / wsum
-            w1 = w1 / wsum
-            w2 = w2 / wsum
-            zp = 1.0 / (w0 / z0 + w1 / z1 + w2 / z2)
+            # reciprocals per FACE row (divides are multi-pass on the VPU;
+            # 3 per-pair divides at [t,t,FB] dominated the old kernel)
+            iz0, iz1, iz2 = 1.0 / z0, 1.0 / z1, 1.0 / z2       # [1,1,FB]
+            zp = wsum / (w0 * iz0 + w1 * iz1 + w2 * iz2)
 
             ok = inside & (zp > near) & (zp < far) & (ids[0:1, :][None] >= 0)
             zkey = jnp.where(ok, zp, BIG_DEPTH)
             blk_min = jnp.min(zkey, axis=-1)                       # [t,t]
-            blk_arg = jnp.argmin(zkey, axis=-1)
-            onehot = (jax.lax.broadcasted_iota(jnp.int32, zkey.shape, 2) ==
-                      blk_arg[..., None]).astype(jnp.float32)
-            id_sel = jnp.sum(onehot * ids[0:1, :][None].astype(jnp.float32),
+            # argmin via two min-reductions (no lane-serial argmin):
+            # lowest face id among depth-tied lanes — the deterministic
+            # tie-break the XLA path's first-argmin gives for sorted ids
+            idsf = ids[0:1, :][None].astype(jnp.float32)
+            tied = zkey == blk_min[..., None]
+            id_sel = jnp.min(jnp.where(tied, idsf, jnp.float32(2 ** 30)),
                              axis=-1)
-            # strict < : earlier chunks (lower face ids) win depth ties,
-            # matching the XLA path's first-argmin semantics
+            onehot = (tied & (idsf == id_sel[..., None])).astype(jnp.float32)
+            # strict < : earlier chunks (lower face ids) win depth ties
             upd = blk_min < acc_z[:]
             acc_f[:] = jnp.where(upd, id_sel, acc_f[:])
             acc_z[:] = jnp.where(upd, blk_min, acc_z[:])
+
+            # winner-data selection: [t,t,FB]->[t*t,FB] is a free leading
+            # -dim merge; the dot rides the MXU.  HIGHEST precision keeps
+            # the one-hot products bit-faithful to the gathered values.
+            rows_m = [inv, face[2:3, :], face[5:6, :], face[8:9, :]]
+            if n_tex:
+                rows_m.append(tex_ref[0])
+            rows_m.append(jnp.ones((1, PF_FB), jnp.float32))
+            if C_pad > C_sel:
+                rows_m.append(jnp.zeros((C_pad - C_sel, PF_FB), jnp.float32))
+            mat = jnp.concatenate(rows_m, axis=0)                  # [Cp,FB]
+            sel2 = jnp.where(upd[..., None], onehot, 0.0).reshape(t * t, -1)
+            delta = jax.lax.dot_general(
+                mat, sel2, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)                # [Cp,t*t]
+            hit = delta[C_sel - 1:C_sel, :]                        # [1,t*t]
+            acc_sel[:] = acc_sel[:] * (1.0 - hit) + delta
 
         @pl.when(last_s[i] == 1)
         def _fin():
             out_ref[0, 0, 0] = acc_z[:]
             out_ref[0, 1, 0] = acc_f[:]
+            sel_ref[0, 0] = acc_sel[:]
 
     return kernel
 
 
-def _prep_maps_pf(face, is_: int, cap: int, w_cap: int):
+def _prep_maps_pf(face, is_: int, cap: int, w_cap: int, tex=None):
     """Bin faces to tiles and build transposed per-work-item inputs.
 
     face: [B, F, 9] NDC.  The binner assumes the SoftRas row convention
@@ -149,6 +188,11 @@ def _prep_maps_pf(face, is_: int, cap: int, w_cap: int):
     gidx = b_of[:, None] * F + fid_safe
 
     inv = impl._face_inv_pixel(face, is_).reshape(B, F, 9)
+    # degenerate faces (zero pixel-space area) divide by det=0 -> inf/nan;
+    # a single non-finite row would poison every pixel of its tile through
+    # the one-hot selection matmul (0 * nan = nan), so zero them — with
+    # inv=0 the in-kernel zp turns nan and the ok-gate rejects the face
+    inv = jnp.where(jnp.isfinite(inv), inv, 0.0)
     front = impl._face_frontside_n3mr(face).astype(jnp.float32)[..., None]
 
     def g(a):
@@ -160,6 +204,7 @@ def _prep_maps_pf(face, is_: int, cap: int, w_cap: int):
     g_face = tr(jnp.where((ids_w < 0)[..., None], SENTINEL, g(face)))
     g_inv = tr(g(inv))
     g_front = tr(g(front))
+    g_tex = tr(g(tex.reshape(B, F, -1))) if tex is not None else None
 
     t_in_b = tile - b_of * NT
     out_ty = t_in_b // TX
@@ -167,14 +212,20 @@ def _prep_maps_pf(face, is_: int, cap: int, w_cap: int):
     active = in_range.astype(jnp.int32)
     covered = (lists.counts > 0).reshape(B, TY, TX)
     return (ids_w[:, None, :].astype(jnp.int32), g_face, g_inv, g_front,
-            b_of, out_ty, out_tx, first, last, active, covered)
+            g_tex, b_of, out_ty, out_tx, first, last, active, covered)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def forward_maps_pallas(face, is_: int, near: float, far: float):
-    """Batched z-buffer maps: (face_index [B,H,W] i32, weight [B,H,W,3],
-    depth [B,H,W], face_inv_map [B,H,W,9] flat).  Drop-in for
-    vmap(impl.forward_maps_single)."""
+MAX_TEX_SEL = 96     # select texture rows in-kernel up to ts^3*3 <= 96
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def forward_sel_pallas(face, tex, is_: int, near: float, far: float):
+    """Batched z-buffer + in-kernel winner selection.
+
+    Returns (face_index [B,H,W] i32, weight [B,H,W,3], depth [B,H,W],
+    face_inv_map [B,H,W,9], zcorn [B,H,W,3], texrow [B,H,W,Tc] | None).
+    tex: [B,F,Tc] flattened texture rows or None.  The XLA post-pass is
+    purely elementwise — all per-winner data leaves the kernel."""
     B, F = face.shape[:2]
     t = _pf_tile_for(is_)
     assert t > 0, f'image size {is_} not tileable'
@@ -183,12 +234,15 @@ def forward_maps_pallas(face, is_: int, near: float, far: float):
     cap = max(PF_FB, min(F, 2048))
     cap = (cap + PF_FB - 1) // PF_FB * PF_FB
     w_cap = _work_cap_pf(F, NT, B)
+    n_tex = 0 if tex is None else tex.shape[-1]
+    C_sel = 9 + 3 + n_tex + 1
+    C_pad = (C_sel + 7) // 8 * 8
 
-    (ids, g_face, g_inv, g_front, out_b, out_ty, out_tx,
-     first, last, active, covered) = _prep_maps_pf(face, is_, cap, w_cap)
+    (ids, g_face, g_inv, g_front, g_tex, out_b, out_ty, out_tx,
+     first, last, active, covered) = _prep_maps_pf(face, is_, cap, w_cap, tex)
 
     FB = PF_FB
-    kernel = _make_maps_kernel(is_, near, far, t)
+    kernel = _make_maps_kernel(is_, near, far, t, n_tex)
 
     def in_spec(c):
         return pl.BlockSpec((1, c, FB),
@@ -199,26 +253,40 @@ def forward_maps_pallas(face, is_: int, near: float, far: float):
                             lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
                             (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
                             memory_space=pltpu.VMEM)
+    sel_spec = pl.BlockSpec((1, 1, C_pad, t * t),
+                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
+                            (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [in_spec(1), in_spec(9), in_spec(9), in_spec(1)]
+    inputs = [ids, g_face, g_inv, g_front]
+    if n_tex:
+        in_specs.append(in_spec(n_tex))
+        inputs.append(g_tex)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(w_cap,),
-        in_specs=[in_spec(1), in_spec(9), in_spec(9), in_spec(1)],
-        out_specs=[out_spec],
+        in_specs=in_specs,
+        out_specs=[out_spec, sel_spec],
         scratch_shapes=[pltpu.VMEM((t, t), jnp.float32),
-                        pltpu.VMEM((t, t), jnp.float32)],
+                        pltpu.VMEM((t, t), jnp.float32),
+                        pltpu.VMEM((C_pad, t * t), jnp.float32)],
     )
 
-    (zf_t,) = pl.pallas_call(
+    zf_t, sel_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, 2, NT, t, t), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        out_shape=[jax.ShapeDtypeStruct((B, 2, NT, t, t), jnp.float32),
+                   jax.ShapeDtypeStruct((B, NT, C_pad, t * t), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=not _is_tpu(),
-    )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_front)
+    )(out_b, out_ty, out_tx, first, last, active, *inputs)
 
     zf = zf_t.reshape(B, 2, TY, TX, t, t).transpose(0, 1, 2, 4, 3, 5) \
         .reshape(B, 2, is_, is_)
+    sel = sel_t.reshape(B, TY, TX, C_pad, t, t).transpose(0, 1, 4, 2, 5, 3) \
+        .reshape(B, is_, is_, C_pad)                       # channel-last
     mask = jnp.repeat(jnp.repeat(covered, t, axis=1), t, axis=2)
     best_z = jnp.where(mask, zf[:, 0], BIG_DEPTH)
     best_f = jnp.where(mask, zf[:, 1].astype(jnp.int32), -1)
@@ -227,16 +295,24 @@ def forward_maps_pallas(face, is_: int, near: float, far: float):
     depth = jnp.where(has, best_z, far)
     face_index = jnp.where(has, best_f, -1)
 
-    # O(pixels) recompute of weight / face_inv from the winning face;
-    # flat [.,9] rows throughout (a trailing (3,3) would be (8,128)-tiled)
-    f_safe = jnp.maximum(best_f, 0)
-    inv_all = impl._face_inv_pixel(face, is_).reshape(B, F, 9)
-    inv_px = jax.vmap(lambda a, i: a[i])(inv_all, f_safe)         # [B,H,W,9]
+    hm = (has & (sel[..., C_sel - 1] > 0.5))[..., None]
+    inv_px = jnp.where(hm, sel[..., 0:9], 0.0)             # [B,H,W,9]
+    zcorn = jnp.where(hm, sel[..., 9:12], 1.0)
+    texrow = jnp.where(hm, sel[..., 12:12 + n_tex], 0.0) if n_tex else None
+
     XI = jnp.arange(is_, dtype=jnp.float32)[None, None, :, None]  # cols
     YI = jnp.arange(is_, dtype=jnp.float32)[None, :, None, None]  # rows
     w = inv_px[..., 0::3] * XI + inv_px[..., 1::3] * YI + inv_px[..., 2::3]
     w = jnp.clip(w, 0.0, 1.0)
-    w = w / jnp.sum(w, -1, keepdims=True)
+    w = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-30)
     weight = jnp.where(has[..., None], w, 0.0)
-    face_inv_map = jnp.where(has[..., None], inv_px, 0.0)
-    return face_index, weight, depth, face_inv_map
+    return face_index, weight, depth, inv_px, zcorn, texrow
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def forward_maps_pallas(face, is_: int, near: float, far: float):
+    """Batched z-buffer maps: (face_index [B,H,W] i32, weight [B,H,W,3],
+    depth [B,H,W], face_inv_map [B,H,W,9] flat).  Drop-in for
+    vmap(impl.forward_maps_single)."""
+    fi, wt, dp, finv, _, _ = forward_sel_pallas(face, None, is_, near, far)
+    return fi, wt, dp, finv

@@ -80,6 +80,123 @@ class TileLists(NamedTuple):
     counts: jnp.ndarray   # [B, TY*TX] int32 true faces-per-tile (pre-cap)
 
 
+class CompactLists(NamedTuple):
+    """Sorted-pairs tile lists WITHOUT the [NT, cap] materialization.
+
+    The round-1 design scattered every (tile, face) pair into a dense
+    [n_tiles, cap] table — an XLA TPU scatter that serialized into ~90 ms
+    at 39k faces and dominated the whole rasterizer.  The compact form
+    keeps the sorted pair array and per-tile offsets; work-item face ids
+    are then one small [W, FB] gather (gather_work_ids)."""
+    faces_sorted: jnp.ndarray   # [B, F*MT] i32 face ids sorted by tile
+    starts: jnp.ndarray         # [B, NT] i32 offset of each tile's run
+    counts: jnp.ndarray         # [B, NT] i32 true per-tile counts (pre-cap)
+    glist: jnp.ndarray          # [B, GBIG] i32 huge-face list (every tile)
+    gcount: jnp.ndarray         # [B] i32 number of valid glist entries
+
+
+CL_MT = 16     # bands/tiles a face may span before it goes global
+CL_GBIG = 128  # cap on such global faces
+
+
+def _tile_ranges(face, image_size, tile_h, tile_w, threshold):
+    """Shared bbox -> tile-range computation.  Returns (ty/tx min/max,
+    empty) per face."""
+    is_ = image_size
+    TY = is_ // tile_h
+    TX = is_ // tile_w
+    thr = jnp.sqrt(jnp.float32(threshold))
+    xs = face[..., 0::3]
+    ys = face[..., 1::3]
+    xmin = jnp.min(xs, -1) - thr
+    xmax = jnp.max(xs, -1) + thr
+    ymin = jnp.min(ys, -1) - thr
+    ymax = jnp.max(ys, -1) + thr
+    c_min = jnp.ceil((xmin * is_ + is_ - 1) / 2).astype(jnp.int32)
+    c_max = jnp.floor((xmax * is_ + is_ - 1) / 2).astype(jnp.int32)
+    r_min = jnp.ceil((is_ - 1 - ymax * is_) / 2).astype(jnp.int32)
+    r_max = jnp.floor((is_ - 1 - ymin * is_) / 2).astype(jnp.int32)
+    empty = (c_min > c_max) | (c_max < 0) | (c_min > is_ - 1) \
+        | (r_max < 0) | (r_min > is_ - 1)
+    tx_min = jnp.clip(c_min // tile_w, 0, TX - 1)
+    tx_max = jnp.clip(c_max // tile_w, 0, TX - 1)
+    ty_min = jnp.clip(r_min // tile_h, 0, TY - 1)
+    ty_max = jnp.clip(r_max // tile_h, 0, TY - 1)
+    return ty_min, ty_max, tx_min, tx_max, empty, TY, TX
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
+def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
+                             tile_w: int, threshold: float,
+                             mt: int = CL_MT) -> CompactLists:
+    """Scatter-free binning: emit <= mt (tile, face) pairs per face, sort
+    by tile, keep the sorted run + per-tile offsets.  Faces spanning more
+    than mt tiles are prepended to EVERY tile via glist (bounded CL_GBIG;
+    the kernel's border check no-ops them where they don't overlap)."""
+    B, F, _ = face.shape
+    ty_min, ty_max, tx_min, tx_max, empty, TY, TX = _tile_ranges(
+        face, image_size, tile_h, tile_w, threshold)
+    n_tiles = TY * TX
+    nty = ty_max - ty_min + 1
+    ntx = tx_max - tx_min + 1
+    ntl = nty * ntx
+    big = (ntl > mt) & ~empty
+
+    j = jnp.arange(mt, dtype=jnp.int32)
+    dy = j[None, None, :] // jnp.maximum(ntx, 1)[..., None]
+    dx = j[None, None, :] % jnp.maximum(ntx, 1)[..., None]
+    pair_tile = (ty_min[..., None] + dy) * TX + (tx_min[..., None] + dx)
+    pair_ok = (j[None, None, :] < jnp.minimum(ntl, mt)[..., None]) & \
+        (~empty)[..., None] & (~big)[..., None]
+    pair_tile = jnp.where(pair_ok, pair_tile, n_tiles)
+    pair_face = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :, None],
+                                 pair_tile.shape)
+
+    def one(tiles_b, faces_b, big_b):
+        gpos = jnp.cumsum(big_b.astype(jnp.int32)) - 1
+        gcount = jnp.minimum(jnp.sum(big_b.astype(jnp.int32)), CL_GBIG)
+        gdest = jnp.where(big_b & (gpos < CL_GBIG), gpos, CL_GBIG)
+        glist = jnp.full((CL_GBIG + 1,), -1, jnp.int32).at[gdest].set(
+            jnp.arange(F, dtype=jnp.int32), mode='drop')[:CL_GBIG]
+        tiles_s, faces_s = jax.lax.sort(
+            (tiles_b.reshape(-1), faces_b.reshape(-1)), num_keys=1,
+            is_stable=True)
+        starts = jnp.searchsorted(
+            tiles_s, jnp.arange(n_tiles, dtype=jnp.int32),
+            side='left').astype(jnp.int32)
+        ends = jnp.searchsorted(
+            tiles_s, jnp.arange(1, n_tiles + 1, dtype=jnp.int32),
+            side='left').astype(jnp.int32)
+        return faces_s, starts, ends - starts + gcount, glist, gcount
+
+    fs, st, cn, gl, gc = jax.vmap(one)(pair_tile, pair_face, big)
+    return CompactLists(faces_sorted=fs, starts=st, counts=cn,
+                        glist=gl, gcount=gc)
+
+
+def gather_work_ids(cl: CompactLists, tile, chunk, fb: int, cap: int):
+    """Face ids for work items: ids[w, j] = j-th face of tile[w]'s list
+    (glist head + sorted run), -1 beyond the (capped) count.
+
+    tile: [W] flat b*NT + t indices; chunk: [W] chunk-within-tile.
+    One [W, fb] gather — replaces the dense [NT, cap] table."""
+    B, NT = cl.counts.shape
+    P = cl.faces_sorted.shape[1]
+    b = tile // NT
+    tloc = tile - b * NT
+    idx = chunk[:, None] * fb + jnp.arange(fb, dtype=jnp.int32)[None, :]
+    gcount_w = cl.gcount[b][:, None]
+    counts_w = jnp.minimum(cl.counts[b, tloc], cap)[:, None]
+    in_g = idx < gcount_w
+    gval = cl.glist.reshape(-1)[
+        b[:, None] * CL_GBIG + jnp.clip(idx, 0, CL_GBIG - 1)]
+    ssrc = cl.starts[b, tloc][:, None] + idx - gcount_w
+    sval = cl.faces_sorted.reshape(-1)[
+        b[:, None] * P + jnp.clip(ssrc, 0, P - 1)]
+    ids = jnp.where(in_g, gval, sval)
+    return jnp.where(idx < counts_w, ids, -1)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def build_tile_lists(face: jnp.ndarray, image_size: int, tile_h: int, tile_w: int,
                      cap: int, threshold: float) -> TileLists:

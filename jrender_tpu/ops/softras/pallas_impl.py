@@ -30,7 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import geometry as G
-from .binning import build_tile_lists, build_work_list, gather_tile_data, report_overflow
+from .binning import (build_tile_lists, build_tile_lists_compact,
+                      build_work_list, gather_tile_data, gather_work_ids,
+                      report_overflow)
 from .params import SoftRasParams
 
 BIG_DEPTH = 10000000.0
@@ -1164,11 +1166,12 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
 def _work_gather_pf(lists, counts, cap, w_cap, B, F, NT, TX, arrays):
     """Work-list expansion shared by the fwd/bwd and threshold kernels.
 
-    counts: [B, NT] per-tile face counts to expand (may be a masked copy
-    of lists.counts — tiles with count 0 emit no work).  arrays: per-face
-    [B, F, C] tensors to gather per chunk; the FIRST one (the face
-    coordinates) gets SENTINEL masking on padded lanes.  Returns
-    (prefetch scalars, ids_w [W,1,FB], gathered [W,C,FB] tensors)."""
+    lists: CompactLists.  counts: [B, NT] per-tile face counts to expand
+    (may be a masked copy of lists.counts — tiles with count 0 emit no
+    work).  arrays: per-face [B, F, C] tensors to gather per chunk; the
+    FIRST one (the face coordinates) gets SENTINEL masking on padded
+    lanes.  Returns (prefetch scalars, ids_w [W,1,FB], gathered [W,C,FB]
+    tensors)."""
     FB = PF_FB
     work = build_work_list(counts, cap, FB, w_cap, skip_empty=True)
 
@@ -1180,10 +1183,7 @@ def _work_gather_pf(lists, counts, cap, w_cap, B, F, NT, TX, arrays):
     first = jnp.where(in_range, work.first, 0)
     last = jnp.where(in_range, work.last, 0)
 
-    ids_flat = lists.ids.reshape(B * NT * cap)
-    slot = tile[:, None] * cap + chunk[:, None] * FB + \
-        jnp.arange(FB, dtype=jnp.int32)[None, :]
-    ids_w = ids_flat[slot]
+    ids_w = gather_work_ids(lists, tile, chunk, FB, cap)
     ids_w = jnp.where(in_range[:, None], ids_w, -1)
 
     b_of = tile // NT
@@ -1222,7 +1222,7 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
     t = _pf_tile_for(is_)
     TY = TX = is_ // t
     NT = TY * TX
-    lists = build_tile_lists(face, is_, t, t, cap, p.threshold)
+    lists = build_tile_lists_compact(face, is_, t, t, p.threshold)
     scalars, ids_w, gathered, total = _work_gather_pf(
         lists, lists.counts, cap, w_cap, B, F, NT, TX,
         (face, face_inv, face_sym, face_obt, front, tex))

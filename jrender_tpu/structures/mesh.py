@@ -33,6 +33,12 @@ def face_vertices(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     """
     assert vertices.ndim == 3
     assert faces.ndim == 3
+    # The TPU backend miscompiles a batched gather whose operands are both
+    # compile-time constants (observed: wrong folded values on v5e via the
+    # remote compiler; plain unbatched gathers fold fine).  Demos/users
+    # routinely jit closures over a fixed mesh, which makes both operands
+    # constants — the barrier keeps them runtime values at zero cost.
+    vertices, faces = jax.lax.optimization_barrier((vertices, faces))
     return jax.vmap(lambda v, f: v[f])(vertices, faces)
 
 
