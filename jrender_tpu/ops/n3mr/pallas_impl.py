@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..softras.binning import build_tile_lists, build_work_list
+from ..softras.binning import (build_tile_lists_compact, build_work_list,
+                               gather_work_ids)
 from ..softras.pallas_impl import _is_tpu, _pf_tile_for, _work_cap_pf, PF_FB
 from . import impl
 
@@ -165,8 +166,9 @@ def _prep_maps_pf(face, is_: int, cap: int, w_cap: int, tex=None):
     NT = TY * TX
     FB = PF_FB
 
+    from ..softras.pallas_impl import _bin_mt_for
     neg_y = face * jnp.asarray([1., -1., 1.] * 3, face.dtype)
-    lists = build_tile_lists(neg_y, is_, t, t, cap, 0.0)
+    lists = build_tile_lists_compact(neg_y, is_, t, t, 0.0, _bin_mt_for(F))
     work = build_work_list(lists.counts, cap, FB, w_cap, skip_empty=True)
 
     total = work.num_items
@@ -177,10 +179,7 @@ def _prep_maps_pf(face, is_: int, cap: int, w_cap: int, tex=None):
     first = jnp.where(in_range, work.first, 0)
     last = jnp.where(in_range, work.last, 0)
 
-    ids_flat = lists.ids.reshape(B * NT * cap)
-    slot = tile[:, None] * cap + chunk[:, None] * FB + \
-        jnp.arange(FB, dtype=jnp.int32)[None, :]
-    ids_w = ids_flat[slot]
+    ids_w = gather_work_ids(lists, tile, chunk, FB, cap)
     ids_w = jnp.where(in_range[:, None], ids_w, -1)
 
     b_of = tile // NT

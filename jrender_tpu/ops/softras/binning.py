@@ -93,10 +93,11 @@ class CompactLists(NamedTuple):
     counts: jnp.ndarray         # [B, NT] i32 true per-tile counts (pre-cap)
     glist: jnp.ndarray          # [B, GBIG] i32 huge-face list (every tile)
     gcount: jnp.ndarray         # [B] i32 number of valid glist entries
+    gdrop: jnp.ndarray          # [B] i32 big faces DROPPED past the glist cap
 
 
 CL_MT = 16     # bands/tiles a face may span before it goes global
-CL_GBIG = 128  # cap on such global faces
+CL_GBIG = 256  # cap on such global faces
 
 
 def _tile_ranges(face, image_size, tile_h, tile_w, threshold):
@@ -152,26 +153,41 @@ def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
     pair_face = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :, None],
                                  pair_tile.shape)
 
+    # single fused sort key: tile * stride + face keeps faces ascending
+    # within each tile and sorts ONE int32 array instead of a two-operand
+    # comparator sort (~2x cheaper on TPU); falls back to the pair sort
+    # when (n_tiles+1) * stride would overflow int32
+    stride = 1 << (F + 1).bit_length()
+    fused = (n_tiles + 1) * stride < 2 ** 31
+
     def one(tiles_b, faces_b, big_b):
         gpos = jnp.cumsum(big_b.astype(jnp.int32)) - 1
-        gcount = jnp.minimum(jnp.sum(big_b.astype(jnp.int32)), CL_GBIG)
+        gtrue = jnp.sum(big_b.astype(jnp.int32))
+        gcount = jnp.minimum(gtrue, CL_GBIG)
         gdest = jnp.where(big_b & (gpos < CL_GBIG), gpos, CL_GBIG)
         glist = jnp.full((CL_GBIG + 1,), -1, jnp.int32).at[gdest].set(
             jnp.arange(F, dtype=jnp.int32), mode='drop')[:CL_GBIG]
-        tiles_s, faces_s = jax.lax.sort(
-            (tiles_b.reshape(-1), faces_b.reshape(-1)), num_keys=1,
-            is_stable=True)
+        if fused:
+            key = tiles_b.reshape(-1) * stride + faces_b.reshape(-1)
+            key_s = jax.lax.sort(key)
+            tiles_s = key_s // stride
+            faces_s = key_s - tiles_s * stride
+        else:
+            tiles_s, faces_s = jax.lax.sort(
+                (tiles_b.reshape(-1), faces_b.reshape(-1)), num_keys=1,
+                is_stable=True)
         starts = jnp.searchsorted(
             tiles_s, jnp.arange(n_tiles, dtype=jnp.int32),
             side='left').astype(jnp.int32)
         ends = jnp.searchsorted(
             tiles_s, jnp.arange(1, n_tiles + 1, dtype=jnp.int32),
             side='left').astype(jnp.int32)
-        return faces_s, starts, ends - starts + gcount, glist, gcount
+        return (faces_s, starts, ends - starts + gcount, glist, gcount,
+                gtrue - gcount)
 
-    fs, st, cn, gl, gc = jax.vmap(one)(pair_tile, pair_face, big)
+    fs, st, cn, gl, gc, gd = jax.vmap(one)(pair_tile, pair_face, big)
     return CompactLists(faces_sorted=fs, starts=st, counts=cn,
-                        glist=gl, gcount=gc)
+                        glist=gl, gcount=gc, gdrop=gd)
 
 
 def gather_work_ids(cl: CompactLists, tile, chunk, fb: int, cap: int):

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -796,8 +797,23 @@ def soft_rasterize_fwd_pallas(face_vertices, textures, p: SoftRasParams):
 # background by an XLA select after the kernel.
 # ===========================================================================
 
-PF_TILE = 32         # preferred pixel tile edge (adaptive per image size)
+PF_TILE = int(os.environ.get('JR_PF_TILE', '32'))  # preferred pixel tile edge
 PF_FB = 128          # faces per chunk == lane count
+
+
+def _bin_mt_for(F: int) -> int:
+    """Max (tile,face) pairs emitted per face for the compact binner.
+
+    Large meshes are made of small faces: a face whose inflated bbox fits
+    within one tile edge spans at most 2x2 tiles, so mt=4 quarters the
+    sort length (the dominant binning cost).  Bigger faces spill to the
+    glist (capped, reported via gdrop).  Small meshes keep the generous
+    span so only truly huge faces go global."""
+    env = os.environ.get('JR_BIN_MT')
+    if env:
+        return int(env)
+    from .binning import CL_MT
+    return 4 if F > 8192 else CL_MT
 
 
 def _pf_tile_for(image_size: int) -> int:
@@ -1222,12 +1238,15 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
     t = _pf_tile_for(is_)
     TY = TX = is_ // t
     NT = TY * TX
-    lists = build_tile_lists_compact(face, is_, t, t, p.threshold)
+    lists = build_tile_lists_compact(face, is_, t, t, p.threshold,
+                                     _bin_mt_for(F))
     scalars, ids_w, gathered, total = _work_gather_pf(
         lists, lists.counts, cap, w_cap, B, F, NT, TX,
         (face, face_inv, face_sym, face_obt, front, tex))
     report_overflow(lists.counts, cap, total, w_cap,
                     where=f'softras px_f {is_}px')
+    # big faces dropped past the glist cap are missing from EVERY tile
+    report_overflow(lists.gdrop[:, None], 0, where=f'softras px_f {is_}px glist')
     g_face, g_inv, g_sym, g_obt, g_front, g_tex = gathered
     b_of, out_ty, out_tx, first, last, active = scalars
 
