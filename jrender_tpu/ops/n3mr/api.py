@@ -112,9 +112,14 @@ def _core_bwd(p: N3mrParams, res, gout):
     grad_faces = jnp.zeros_like(face9)
     if p.return_rgb or p.return_alpha:
         from . import banded_bwd
-        gpix = jax.vmap(lambda f, fi, rgb, al, gr, ga: banded_bwd.backward_pixel_map_banded(
-            f, fi, rgb, al, gr, ga, is_, p.eps, p.return_rgb, p.return_alpha)
-        )(face9, m.face_index, m.rgb, m.alpha, g_rgb, g_alpha)
+        # static python loop over batch: the TPU path is a Pallas call
+        # with scalar prefetch, which jax.vmap cannot batch
+        gpix = jnp.stack([
+            banded_bwd.backward_pixel_map_banded(
+                face9[b], m.face_index[b], m.rgb[b], m.alpha[b],
+                g_rgb[b], g_alpha[b], is_, p.eps, p.return_rgb,
+                p.return_alpha)
+            for b in range(B)])
         grad_faces = grad_faces + gpix
 
     if p.return_rgb:

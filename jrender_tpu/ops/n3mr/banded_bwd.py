@@ -281,17 +281,305 @@ def _work_cap(N: int, n_bands: int, chunk: int, mul: int) -> int:
     return mul * ((2 * N) // chunk + 1) + n_bands
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ('tpu', 'axon')
+    except Exception:
+        return False
+
+
+# per-item scalar channel map for the Pallas kernel
+_SC = ('p00', 'p01', 'p10', 'p11', 'p20', 'p21', 'dir', 'd0f', 'd0t',
+       'slope', 'sA', 'sB', 'fid')
+
+
+def _make_banded_kernel(is_: int, eps: float, return_rgb: bool,
+                        return_alpha: bool, C: int):
+    """Pallas port of _axis_pass's step() — one grid step per (band,
+    item-chunk) work item, items on lanes, d1 on sublanes.
+
+    The XLA while_loop version materialized ~30 [C, BAND, is] HBM
+    temporaries per iteration (~150 us/item, memory-bound); here every
+    cell array stays in VMEM, the crossing-pixel loads go through
+    mask+MXU dots, and the d1 reductions ride the MXU."""
+    import jax.experimental.pallas as pl
+
+    HIP = jax.lax.Precision.HIGHEST
+    n_maps = (1 + (3 if return_rgb else 0) * 2 +
+              (2 if return_alpha else 0))
+
+    def dot_d1(row, x):
+        # [1, is] x [is, C] -> [1, C]
+        return jax.lax.dot_general(row, x, (((1,), (0,)), ((), ())),
+                                   precision=HIP,
+                                   preferred_element_type=jnp.float32)
+
+    def kernel(band_s, act_s, sc_ref, *refs):
+        strip_refs = refs[:n_maps]
+        out_ref = refs[n_maps]
+        i = pl.program_id(0)
+        band = band_s[i]
+
+        out_ref[0, 0:1, :] = jnp.zeros((1, C), jnp.float32)
+        out_ref[0, 1:2, :] = jnp.zeros((1, C), jnp.float32)
+
+        @pl.when(act_s[i] == 1)
+        def _body():
+            sc = sc_ref[0]                                  # [CS, C]
+
+            def row(name):
+                return sc[_SC.index(name):_SC.index(name) + 1, :]  # [1,C]
+
+            P00, P01, P10, P11, P20, P21 = (row(n) for n in
+                                            ('p00', 'p01', 'p10', 'p11',
+                                             'p20', 'p21'))
+            DIR = row('dir')
+            D0F, D0T = row('d0f'), row('d0t')
+            SLOPE, SA, SB = row('slope'), row('sA'), row('sB')
+            FID = row('fid')                                 # -1 = invalid
+            ok = FID >= 0
+
+            # strips pre-transposed to [is, BAND]
+            strips = [r[0] for r in strip_refs]
+            fiT = strips[0]
+            si = 1
+            if return_alpha:
+                aT, gaT = strips[si], strips[si + 1]
+                si += 2
+            if return_rgb:
+                rT = strips[si:si + 3]
+                grT = strips[si + 3:si + 6]
+
+            iota_i = jax.lax.broadcasted_iota(jnp.int32, (is_, 1), 0)
+            iota_f = iota_i.astype(jnp.float32)
+            ones_is = jnp.ones((1, is_), jnp.float32)
+
+            c1 = jnp.zeros((1, C), jnp.float32)
+            c2 = jnp.zeros((1, C), jnp.float32)
+            for r in range(BAND):
+                d0f = (band * BAND + r).astype(jnp.float32)  # scalar
+                in_d0 = ok & (d0f >= D0F) & (d0f <= D0T)     # [1,C]
+                d1_cross = SLOPE * (d0f - P00) + P01
+                d1_in_f = jnp.where(DIR > 0, jnp.floor(d1_cross),
+                                    jnp.ceil(d1_cross))
+                d1_out_f = d1_in_f + DIR
+                bd_ok = in_d0 & (d1_in_f >= 0) & (d1_in_f <= is_ - 1) & \
+                    (d1_out_f >= 0) & (d1_out_f <= is_ - 1)
+                d1_in = jnp.clip(d1_in_f, 0, is_ - 1).astype(jnp.int32)
+                d1_out = jnp.clip(d1_out_f, 0, is_ - 1).astype(jnp.int32)
+
+                mask_in = (iota_i == d1_in).astype(jnp.float32)   # [is,C]
+                mask_out = (iota_i == d1_out).astype(jnp.float32)
+
+                fi_col = fiT[:, r:r + 1]                          # [is,1]
+                fin = dot_d1(jnp.swapaxes(fi_col, 0, 1), mask_in)
+                is_in_fn = bd_ok & (fin == FID)
+
+                # OUT range: edge crossing -> screen border
+                d1_lim_out = jnp.where(DIR > 0, float(is_ - 1), 0.0)
+                lo_o = jnp.maximum(jnp.minimum(d1_out.astype(jnp.float32),
+                                               d1_lim_out), 0.0)
+                hi_o = jnp.minimum(jnp.maximum(d1_out.astype(jnp.float32),
+                                               d1_lim_out), float(is_ - 1))
+                rng_out = (iota_f >= lo_o) & (iota_f <= hi_o) & is_in_fn
+
+                between = (d0f - P00) * (d0f - P20) < 0
+                cross2 = jnp.where(between, SA * (d0f - P00) + P01,
+                                   SB * (d0f - P20) + P21)
+                d1_lim_in_f = jnp.where(DIR > 0, jnp.ceil(cross2),
+                                        jnp.floor(cross2))
+                lim_ok = (d1_lim_in_f > -jnp.inf) & (d1_lim_in_f < jnp.inf)
+                d1_lim_in = jnp.clip(d1_lim_in_f, -1.0, float(is_))
+                lo_i = jnp.maximum(jnp.minimum(d1_in.astype(jnp.float32),
+                                               d1_lim_in), 0.0)
+                hi_i = jnp.minimum(jnp.maximum(d1_in.astype(jnp.float32),
+                                               d1_lim_in), float(is_ - 1))
+                own = fi_col == FID                                # [is,C]
+                rng_in = (iota_f >= lo_i) & (iota_f <= hi_i) & \
+                    (bd_ok & lim_ok) & own
+
+                diff_out = jnp.zeros((is_, C), jnp.float32)
+                diff_in = jnp.zeros((is_, C), jnp.float32)
+                if return_alpha:
+                    a_col = aT[:, r:r + 1]
+                    ga_col = gaT[:, r:r + 1]
+                    a_row = jnp.swapaxes(a_col, 0, 1)
+                    a_in = dot_d1(a_row, mask_in)
+                    a_out = dot_d1(a_row, mask_out)
+                    diff_out += (a_col - a_in) * ga_col
+                    diff_in += (a_col - a_out) * ga_col
+                if return_rgb:
+                    for k in range(3):
+                        r_col = rT[k][:, r:r + 1]
+                        gr_col = grT[k][:, r:r + 1]
+                        r_row = jnp.swapaxes(r_col, 0, 1)
+                        r_in = dot_d1(r_row, mask_in)
+                        r_out = dot_d1(r_row, mask_out)
+                        diff_out += (r_col - r_in) * gr_col
+                        diff_in += (r_col - r_out) * gr_col
+
+                base = (P10 - P00) * (iota_f - d1_cross) * (2.0 / is_)
+                n_out = jnp.where(rng_out & (diff_out > 0), diff_out, 0.0)
+                n_in = jnp.where(rng_in & (diff_in > 0), diff_in, 0.0)
+                numer = n_out + n_in
+                nz = numer != 0
+
+                den1 = P10 - d0f                                   # [1,C]
+                dist1 = base / jnp.where(den1 == 0, 1.0, den1)
+                dist1 = jnp.where(dist1 > 0, dist1 + eps, dist1 - eps)
+                ok1 = nz & (den1 != 0)
+                c1 = c1 + dot_d1(ones_is,
+                                 jnp.where(ok1, numer, 0.0) /
+                                 jnp.where(ok1, dist1, 1.0))
+                den2 = d0f - P00
+                dist2 = base / jnp.where(den2 == 0, 1.0, den2)
+                dist2 = jnp.where(dist2 > 0, dist2 + eps, dist2 - eps)
+                ok2 = nz & (den2 != 0)
+                c2 = c2 + dot_d1(ones_is,
+                                 jnp.where(ok2, numer, 0.0) /
+                                 jnp.where(ok2, dist2, 1.0))
+
+            out_ref[0, 0:1, :] = -c1
+            out_ref[0, 1:2, :] = -c2
+
+    return kernel, n_maps
+
+
+def _axis_pass_pallas(face, maps, is_: int, eps: float, return_rgb: bool,
+                      return_alpha: bool, axis: int, chunk: int,
+                      w_cap_mul: int):
+    """Pallas version of _axis_pass; same work list, same math."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..softras.binning import build_work_list
+
+    F = face.shape[0]
+    fi_map, alpha_map, ga_map, rgb_map, gr_map = maps
+    pp = impl._pixel_space(face.reshape(F, 3, 3)[:, :, :2], is_)
+    front = impl._face_frontside_n3mr(face)
+
+    d0c = pp[..., axis]
+    d1c = pp[..., 1 - axis]
+    p00 = jnp.stack([d0c[:, e] for e in range(3)]).reshape(-1)
+    p01 = jnp.stack([d1c[:, e] for e in range(3)]).reshape(-1)
+    p10 = jnp.stack([d0c[:, (e + 1) % 3] for e in range(3)]).reshape(-1)
+    p11 = jnp.stack([d1c[:, (e + 1) % 3] for e in range(3)]).reshape(-1)
+    p20 = jnp.stack([d0c[:, (e + 2) % 3] for e in range(3)]).reshape(-1)
+    p21 = jnp.stack([d1c[:, (e + 2) % 3] for e in range(3)]).reshape(-1)
+    fid = jnp.tile(jnp.arange(F, dtype=jnp.int32), 3)
+    edge = jnp.repeat(jnp.arange(3, dtype=jnp.int32), F)
+    frontc = jnp.tile(front, 3)
+
+    sgn = 1.0 if axis == 0 else -1.0
+    direction = jnp.where(p00 < p10, -1.0, 1.0) * sgn
+    d0_from = jnp.maximum(jnp.ceil(jnp.minimum(p00, p10)), 0.0)
+    d0_to = jnp.minimum(jnp.maximum(p00, p10), is_ - 1.0)
+    slope = (p11 - p01) / (p10 - p00)
+    sA = (p21 - p01) / (p20 - p00)
+    sB = (p11 - p21) / (p10 - p20)
+
+    n_bands = (is_ + BAND - 1) // BAND
+    N = 3 * F
+    cap = max(chunk, min(N, _band_cap(F)))
+    cap = (cap + chunk - 1) // chunk * chunk
+    lists = build_band_lists(d0_from, d0_to, frontc, n_bands, cap)
+    w_cap = _work_cap(N, n_bands, chunk, w_cap_mul)
+    wl = build_work_list(lists.counts[None, :], cap, chunk, w_cap,
+                         skip_empty=True)
+
+    total = wl.num_items
+    in_range = jnp.arange(w_cap, dtype=jnp.int32) < total
+    last_real = jnp.maximum(total - 1, 0)
+    band_w = jnp.where(in_range, wl.tile, wl.tile[last_real])
+    chunk_w = jnp.where(in_range, wl.chunk, 0)
+    active = in_range.astype(jnp.int32)
+
+    slot = band_w[:, None] * cap + chunk_w[:, None] * chunk + \
+        jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    ids_w = lists.ids.reshape(-1)[slot]                        # [W, C]
+    ids_w = jnp.where(in_range[:, None], ids_w, -1)
+    idx = jnp.maximum(ids_w, 0)
+
+    # per-item scalar channels, gathered per work item -> [W, CS, C]
+    fidf = jnp.where(ids_w >= 0, fid[idx].astype(jnp.float32), -1.0)
+    chans = jnp.stack([p00[idx], p01[idx], p10[idx], p11[idx], p20[idx],
+                       p21[idx], direction[idx], d0_from[idx], d0_to[idx],
+                       slope[idx], sA[idx], sB[idx], fidf], axis=1)
+    CS = len(_SC)
+
+    # strips pre-transposed: [n_bands, is, BAND] (pad fill matches XLA)
+    def view(m):
+        return m.T if axis == 0 else m
+    pad = n_bands * BAND - is_
+
+    def viewp(m, fill=0.0):
+        v = view(m)
+        if pad:
+            v = jnp.pad(v, ((0, pad), (0, 0)), constant_values=fill)
+        return v.reshape(n_bands, BAND, is_).transpose(0, 2, 1)
+
+    strips = [viewp(fi_map.astype(jnp.float32), -2.0)]
+    if return_alpha:
+        strips += [viewp(alpha_map), viewp(ga_map)]
+    if return_rgb:
+        strips += [viewp(rgb_map[..., k]) for k in range(3)]
+        strips += [viewp(gr_map[..., k]) for k in range(3)]
+
+    kernel, n_maps = _make_banded_kernel(is_, eps, return_rgb, return_alpha,
+                                         chunk)
+
+    sc_spec = pl.BlockSpec((1, CS, chunk), lambda i, b_s, a_s: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    strip_spec = pl.BlockSpec((1, is_, BAND),
+                              lambda i, b_s, a_s: (b_s[i], 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 2, chunk), lambda i, b_s, a_s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(w_cap,),
+        in_specs=[sc_spec] + [strip_spec] * n_maps,
+        out_specs=[out_spec],
+        scratch_shapes=[],
+    )
+    (c12,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((w_cap, 2, chunk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=not _is_tpu(),
+    )(band_w, active, chans, *strips)
+
+    col = 1 - axis
+    fid_w = jnp.where(ids_w >= 0, fid[idx], -1)
+    edge_w = edge[idx]
+    seg1 = jnp.where(fid_w >= 0, fid_w * 9 + edge_w * 3 + col, F * 9)
+    seg2 = jnp.where(fid_w >= 0, fid_w * 9 + ((edge_w + 1) % 3) * 3 + col,
+                     F * 9)
+    vals = jnp.where(active[:, None, None] > 0, c12, 0.0)
+    segs = jnp.stack([seg1, seg2], axis=1)                     # [W,2,C]
+    return jax.ops.segment_sum(vals.reshape(-1), segs.reshape(-1),
+                               num_segments=F * 9 + 1)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11, 12))
 def backward_pixel_map_banded(face, face_index, rgb_map, alpha_map,
                               grad_rgb, grad_alpha, is_: int, eps: float,
                               return_rgb: bool, return_alpha: bool,
-                              chunk: int = 128, w_cap_mul: int = 4):
+                              chunk: int = 128, w_cap_mul: int = 4,
+                              force_xla: bool = False):
     """Drop-in for impl.backward_pixel_map_single — identical math, banded
-    work (see module docstring).  Returns grad_face [F, 9]."""
+    work (see module docstring).  Returns grad_face [F, 9].
+
+    On TPU the per-item step runs as a Pallas kernel (VMEM-resident
+    strips, MXU gathers/reductions); elsewhere the XLA while_loop."""
     F = face.shape[0]
     maps = (face_index, alpha_map, grad_alpha, rgb_map, grad_rgb)
-    a0 = _axis_pass(face, maps, is_, eps, return_rgb, return_alpha,
-                    axis=0, chunk=chunk, w_cap_mul=w_cap_mul)
-    a1 = _axis_pass(face, maps, is_, eps, return_rgb, return_alpha,
-                    axis=1, chunk=chunk, w_cap_mul=w_cap_mul)
+    impl_fn = _axis_pass_pallas if (_is_tpu() and not force_xla) \
+        else _axis_pass
+    a0 = impl_fn(face, maps, is_, eps, return_rgb, return_alpha,
+                 axis=0, chunk=chunk, w_cap_mul=w_cap_mul)
+    a1 = impl_fn(face, maps, is_, eps, return_rgb, return_alpha,
+                 axis=1, chunk=chunk, w_cap_mul=w_cap_mul)
     return (a0 + a1)[:-1].reshape(F, 9)

@@ -60,12 +60,19 @@ def _pallas_route(p: SoftRasParams, F: int) -> str:
     return 'f_px'
 
 
-def _forward(face_vertices, textures, p: SoftRasParams, backend: str):
+def _forward(face_vertices, textures, p: SoftRasParams, backend: str,
+             for_grad: bool = False):
     if backend == 'pallas':
         from . import pallas_impl
         route = _pallas_route(p, face_vertices.shape[1])
         if route == 'px_f':
-            return pallas_impl.soft_rasterize_fwd_pallas_pf(face_vertices, textures, p)
+            # the grad-path forward also emits the top-K gradient
+            # threshold map (bisected in-kernel); the plain forward skips
+            # that work entirely
+            with_thr = (for_grad and p.grad_mode == 'topk'
+                        and p.max_faces_id < face_vertices.shape[1])
+            return pallas_impl.soft_rasterize_fwd_pallas_pf(
+                face_vertices, textures, p, with_thr)
         if route == 'f_px':
             return pallas_impl.soft_rasterize_fwd_pallas(face_vertices, textures, p)
     return jax_impl.soft_rasterize_fwd_jax(face_vertices, textures, p)
@@ -87,7 +94,8 @@ def _backward(face_vertices, textures, soft_colors, aggrs, faces_id, g,
 
 
 def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
-    out, aggrs, faces_id = _forward(face_vertices, textures, p, backend)
+    out, aggrs, faces_id = _forward(face_vertices, textures, p, backend,
+                                    for_grad=True)
     return out, (face_vertices, textures, out, aggrs, faces_id)
 
 

@@ -823,33 +823,84 @@ def _pf_tile_for(image_size: int) -> int:
     return 0
 
 
-def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
+def _thr_bisect_bounds(near: float, far: float):
+    """Static int32 bisection range for positive-float depth values.
+
+    Positive IEEE-754 floats compare like their bit patterns, so the
+    K-th smallest zp in (near, far] is found by integer bisection on
+    bitcast values — exact in ceil(log2(bits(far)-bits(near))) steps."""
+    import struct
+    lo = struct.unpack('<i', struct.pack('<f', float(near)))[0]
+    hi = struct.unpack('<i', struct.pack('<f', float(far)))[0]
+    iters = max(1, int(hi - lo).bit_length())
+    return lo, hi, iters
+
+
+# forward output channel layout ([B, NT, FWD_C, t*t] rows)
+FWD_C = 8           # r, g, b, alpha, aggr0, aggr1, cnt, thr
+THR_INT_MAX = 2 ** 31 - 1
+
+
+def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
+                        with_thr: bool = False, n_ch: int = 16):
+    """px_f forward kernel, flat pair layout.
+
+    Pair arrays live as [t*t, FB] (free reshape of the blocked
+    [ph, pw, FB] form); every sum-over-faces and sum-over-pixels rides
+    the MXU as a dot_general instead of a 7-pass lane reduction, and the
+    surface-texture sweep becomes T masked-weight matmuls against the
+    per-face texel rows (the ones row of each matmul accumulates the
+    softmax denominator for free, since the texel index partitions
+    [0, T)).
+
+    with_thr: additionally emits the reference top-K gradient threshold
+    (soft_rasterize.py:369-385) — the K-th smallest candidate depth per
+    pixel — by storing candidate depths per chunk in a VMEM slab and
+    bisecting their bit patterns with MXU-counted ranks at the last
+    chunk.  Depth ties at the threshold all pass (same as round-1's
+    sorted-insert pass; the CUDA heap kept the first encountered)."""
     is_ = p.image_size
     bg = p.background_color
     ph = pw = _pf_tile_for(is_)
+    T2 = ph * pw
+    FB = PF_FB
+    K = p.max_faces_id
+    HIP = jax.lax.Precision.HIGHEST
+    if with_thr:
+        tlo, thi, titers = _thr_bisect_bounds(p.near, p.far)
 
-    def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
-               ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref, tex_ref,
-               out_ref, aggrs_ref, cnt_ref,
-               acc_num, acc_sum, acc_max, acc_alpha, acc_dmin, acc_did,
-               acc_cnt):
+    def dot11(a, b):
+        # contract lanes of both: [M, FB] x [N, FB] -> [M, N]
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   precision=HIP,
+                                   preferred_element_type=jnp.float32)
+
+    def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s,
+               ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref,
+               tex_ref, out_ref, *scratch):
+        if with_thr:
+            slab = scratch[-1]
+            scratch = scratch[:-1]
+        acc_ns, acc_max, acc_alpha, acc_cnt, acc_hard = scratch
         i = pl.program_id(0)
         ty = ty_s[i]
         tx = tx_s[i]
 
         @pl.when(first_s[i] == 1)
         def _init():
-            acc_max[:] = jnp.full((ph, pw), p.eps, jnp.float32)
-            acc_sum[:] = jnp.ones((ph, pw), jnp.float32)
-            for k in range(3):
-                acc_num[k] = jnp.full((ph, pw), bg[k], jnp.float32)
+            ns0 = jnp.zeros((4, T2), jnp.float32)
+            ns0 = ns0.at[0, :].set(bg[0]).at[1, :].set(bg[1]).at[2, :].set(bg[2])
+            ns0 = ns0.at[3, :].set(1.0)
+            acc_ns[:] = ns0
+            acc_max[:] = jnp.full((T2, 1), p.eps, jnp.float32)
             if p.alpha_func_id == 2:
-                acc_alpha[:] = jnp.ones((ph, pw), jnp.float32)
+                acc_alpha[:] = jnp.ones((T2, 1), jnp.float32)
             else:
-                acc_alpha[:] = jnp.zeros((ph, pw), jnp.float32)
-            acc_dmin[:] = jnp.full((ph, pw), BIG_DEPTH, jnp.float32)
-            acc_did[:] = jnp.full((ph, pw), -1, jnp.int32)
-            acc_cnt[:] = jnp.zeros((ph, pw), jnp.float32)
+                acc_alpha[:] = jnp.zeros((T2, 1), jnp.float32)
+            acc_cnt[:] = jnp.zeros((T2, 1), jnp.float32)
+            h0 = jnp.zeros((T2, 8), jnp.float32)
+            h0 = h0.at[:, 3].set(BIG_DEPTH).at[:, 4].set(-1.0)
+            acc_hard[:] = h0
 
         @pl.when(act_s[i] == 1)
         def _merge():
@@ -870,71 +921,106 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
 
             terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p,
                                        layout='px_f')
-            sf = terms['sf']                       # [ph,pw,FB]
-            zp = terms['zp']
-            alpha_valid = terms['alpha_valid']
-            tk_valid = terms['tk_valid']
 
-            # per-pixel top-K candidate count (reference's q_size,
-            # soft_rasterize.py:369-385) — backward uses it to decide
-            # whether the K-truncation threshold pass is needed at all
-            cand = tk_valid & (ids[0:1, :][None] >= 0)
-            acc_cnt[:] = acc_cnt[:] + jnp.sum(cand.astype(jnp.float32), -1)
+            def fl(a):
+                return a.reshape(T2, FB) if a is not None else None
+
+            sf = fl(terms['sf'])                   # [T2, FB]
+            zp = fl(terms['zp'])
+            alpha_valid = fl(terms['alpha_valid'])
+            tk_valid = fl(terms['tk_valid'])
+            ids_row = ids[0:1, :]                  # [1, FB]
+            ones_row = jnp.ones((1, FB), jnp.float32)
+
+            # per-pixel candidate count (reference q_size)
+            cand = tk_valid & (ids_row >= 0)
+            acc_cnt[:] = acc_cnt[:] + dot11(cand.astype(jnp.float32), ones_row)
+
+            if with_thr:
+                zk_int = jnp.where(
+                    cand, jax.lax.bitcast_convert_type(zp, jnp.int32),
+                    THR_INT_MAX)
+                slab[ch_s[i]] = zk_int
 
             sf_a = jnp.where(alpha_valid, sf, 0.0)
             if p.alpha_func_id == 0:
                 acc_alpha[:] = jnp.maximum(
                     acc_alpha[:],
-                    jnp.max((alpha_valid & (sf > 0.5)).astype(jnp.float32), -1))
+                    jnp.max((alpha_valid & (sf > 0.5)).astype(jnp.float32),
+                            -1, keepdims=True))
             elif p.alpha_func_id == 1:
-                acc_alpha[:] = acc_alpha[:] + jnp.sum(sf_a, axis=-1)
+                acc_alpha[:] = acc_alpha[:] + dot11(sf_a, ones_row)
             else:
                 x = 1.0 - sf_a
                 while x.shape[-1] > 1:
                     h = x.shape[-1] // 2
                     x = x[..., :h] * x[..., h:]
-                acc_alpha[:] = acc_alpha[:] * x[..., 0]
+                acc_alpha[:] = acc_alpha[:] * x
 
-            side_ok = (front[0:1, :][None] > 0.5) if not p.fill_back else None
+            side_ok = (front > 0.5) if not p.fill_back else None  # [1,FB]
 
             if p.rgb_func_id == 1:
                 rgb_valid = tk_valid if p.fill_back else (tk_valid & side_ok)
                 zpn = (p.far - zp) / (p.far - p.near)
                 zpn_m = jnp.where(rgb_valid, zpn, -jnp.inf)
-                M_blk = jnp.max(zpn_m, axis=-1)
+                M_blk = jnp.max(zpn_m, axis=-1, keepdims=True)     # [T2,1]
                 M_new = jnp.maximum(acc_max[:], M_blk)
-                rescale = jnp.exp((acc_max[:] - M_new) / p.gamma_val)
+                resc_row = jnp.swapaxes(
+                    jnp.exp((acc_max[:] - M_new) / p.gamma_val), 0, 1)
                 expz = jnp.where(rgb_valid,
-                                 jnp.exp((zpn - M_new[..., None]) / p.gamma_val) * sf,
+                                 jnp.exp((zpn - M_new) / p.gamma_val) * sf,
                                  0.0)
-                acc_sum[:] = acc_sum[:] * rescale + jnp.sum(expz, axis=-1)
-                colors = _pair_colors(tex, terms, p, T, perspective=True,
-                                      layout='px_f')
-                for k in range(3):
-                    acc_num[k] = acc_num[k] * rescale + \
-                        jnp.sum(expz * colors[k], axis=-1)
+                delta = jnp.zeros((4, T2), jnp.float32)
+                if p.texture_type_id == 0:
+                    R = int(math.sqrt(T))
+                    wc = [fl(c) for c in terms['wc']]
+                    idx = _surface_tex_idx(wc, R)                  # [T2,FB]
+                    for ti in range(T):
+                        w_ti = jnp.where(idx == ti, expz, 0.0)
+                        rows_ti = jnp.concatenate(
+                            [tex[ti * 3:ti * 3 + 3, :], ones_row], axis=0)
+                        delta = delta + dot11(rows_ti, w_ti)       # [4, T2]
+                else:
+                    invz = [v.reshape(1, FB) for v in terms['invz']]
+                    wc = [fl(c) for c in terms['wc']]
+                    base = expz * zp
+                    for c in range(3):
+                        w_c = base * wc[c] * invz[c]
+                        delta = delta.at[0:3, :].add(
+                            dot11(tex[3 * c:3 * c + 3, :], w_c))
+                    delta = delta.at[3:4, :].add(dot11(ones_row, expz))
+                acc_ns[:] = acc_ns[:] * resc_row + delta
                 acc_max[:] = M_new
             elif p.rgb_func_id == 0:
-                hard_valid = tk_valid & terms['inside'] if p.fill_back else (
-                    tk_valid & terms['inside'] & side_ok)
+                inside = fl(terms['inside'])
+                hard_valid = tk_valid & inside if p.fill_back else (
+                    tk_valid & inside & side_ok)
                 zkey = jnp.where(hard_valid, zp, BIG_DEPTH)
-                blk_min = jnp.min(zkey, axis=-1)
-                blk_arg = jnp.argmin(zkey, axis=-1)
-                onehot = (jax.lax.broadcasted_iota(jnp.int32, zkey.shape, 2) ==
-                          blk_arg[..., None]).astype(jnp.float32)
+                blk_min = jnp.min(zkey, axis=-1, keepdims=True)    # [T2,1]
+                idsf = ids_row.astype(jnp.float32)                 # [1,FB]
+                tied = (zkey == blk_min) & hard_valid
+                id_sel = jnp.min(jnp.where(tied, idsf, jnp.float32(2 ** 30)),
+                                 axis=-1, keepdims=True)
+                onehot = (tied & (idsf == id_sel)).astype(jnp.float32)
                 colors = _pair_colors(tex, terms, p, T, perspective=True,
                                       layout='px_f')
-                id_sel = jnp.sum(onehot * ids[0:1, :][None].astype(jnp.float32),
-                                 axis=-1)
-                upd = blk_min < acc_dmin[:]
+                upd = (blk_min < acc_hard[:, 3:4]) & (blk_min < BIG_DEPTH)
+                hard = acc_hard[:]
                 for k in range(3):
-                    c_sel = jnp.sum(onehot * colors[k], axis=-1)
-                    acc_num[k] = jnp.where(upd, c_sel, acc_num[k])
-                acc_did[:] = jnp.where(upd, id_sel.astype(jnp.int32), acc_did[:])
-                acc_dmin[:] = jnp.where(upd, blk_min, acc_dmin[:])
+                    c_sel = jnp.sum(onehot * fl(colors[k]), -1, keepdims=True)
+                    hard = hard.at[:, k:k + 1].set(
+                        jnp.where(upd, c_sel, hard[:, k:k + 1]))
+                hard = hard.at[:, 3:4].set(
+                    jnp.where(upd, blk_min, hard[:, 3:4]))
+                hard = hard.at[:, 4:5].set(
+                    jnp.where(upd, id_sel, hard[:, 4:5]))
+                acc_hard[:] = hard
 
         @pl.when(last_s[i] == 1)
         def _fin():
+            def row(col):
+                return jnp.swapaxes(col, 0, 1)                     # [1,T2]
+
             if p.alpha_func_id == 0:
                 alpha = acc_alpha[:]
             elif p.alpha_func_id == 1:
@@ -942,103 +1028,90 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int):
             else:
                 alpha = 1.0 - acc_alpha[:]
             if p.rgb_func_id == 1:
-                ssum = acc_sum[:]
+                ssum = acc_ns[3:4, :]
                 for k in range(3):
-                    out_ref[0, k, 0] = acc_num[k] / ssum
-                aggrs_ref[0, 0, 0] = ssum
-                aggrs_ref[0, 1, 0] = acc_max[:]
+                    out_ref[0, 0, k:k + 1, :] = acc_ns[k:k + 1, :] / ssum
+                out_ref[0, 0, 4:5, :] = ssum
+                out_ref[0, 0, 5:6, :] = row(acc_max[:])
             elif p.rgb_func_id == 0:
                 for k in range(3):
-                    out_ref[0, k, 0] = acc_num[k]
-                aggrs_ref[0, 0, 0] = acc_dmin[:]
-                aggrs_ref[0, 1, 0] = acc_did[:].astype(jnp.float32)
+                    out_ref[0, 0, k:k + 1, :] = row(acc_hard[:, k:k + 1])
+                out_ref[0, 0, 4:5, :] = row(acc_hard[:, 3:4])
+                out_ref[0, 0, 5:6, :] = row(acc_hard[:, 4:5])
             else:
                 for k in range(3):
-                    out_ref[0, k, 0] = jnp.full((ph, pw), bg[k], jnp.float32)
-                aggrs_ref[0, 0, 0] = jnp.zeros((ph, pw), jnp.float32)
-                aggrs_ref[0, 1, 0] = jnp.zeros((ph, pw), jnp.float32)
-            out_ref[0, 3, 0] = alpha
-            cnt_ref[0, 0, 0] = acc_cnt[:]
+                    out_ref[0, 0, k:k + 1, :] = jnp.full((1, T2), bg[k],
+                                                      jnp.float32)
+                out_ref[0, 0, 4:5, :] = jnp.zeros((1, T2), jnp.float32)
+                out_ref[0, 0, 5:6, :] = jnp.zeros((1, T2), jnp.float32)
+            out_ref[0, 0, 3:4, :] = row(alpha)
+            out_ref[0, 0, 6:7, :] = row(acc_cnt[:])
 
-    return kernel
+            if with_thr:
+                # exact K-th smallest candidate depth by integer bisection
+                # with MXU-counted ranks; when a pixel has < K candidates
+                # hi stays at bits(far), which passes every valid face
+                ones_row = jnp.ones((1, FB), jnp.float32)
+                nch = ch_s[i] + 1
+                kf = jnp.float32(K)
 
+                def outer(_, lh):
+                    lo, hi = lh
+                    mid = lo + ((hi - lo) >> 1)                    # [T2,1]
 
-def _make_topk_thr_kernel_pf(p: SoftRasParams, F_total: int):
-    """Per-pixel K-th-smallest-candidate-depth map.
+                    def inner(c, acc):
+                        m = (slab[c] <= mid).astype(jnp.float32)
+                        return acc + dot11(m, ones_row)
+                    cnt = jax.lax.fori_loop(
+                        0, nch, inner, jnp.zeros((T2, 1), jnp.float32))
+                    ge = cnt >= kf
+                    return (jnp.where(ge, lo, mid + 1),
+                            jnp.where(ge, mid, hi))
 
-    Implements the reference forward's top-K face selection
-    (soft_rasterize.py:369-385: a per-thread max-heap on zp over faces
-    passing border/dist/near-far) as a streaming sorted-insert over the
-    same work list as the forward: the scratch holds each pixel's K
-    smallest candidate depths in ascending order; each 128-face chunk
-    extracts its own minima and merge-inserts them.  The emitted
-    threshold (the K-th smallest, BIG_DEPTH when fewer than K candidates)
-    gates the backward exactly like the reference's faces_id buffer,
-    except that depth *ties* at the threshold all pass (the CUDA heap
-    kept the first-encountered face; exact z-ties are measure-zero)."""
-    is_ = p.image_size
-    ph = pw = _pf_tile_for(is_)
-    K = p.max_faces_id
-
-    def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
-               ids_ref, face_ref, inv_ref, sym_ref, obt_ref,
-               thr_ref, acc_topk):
-        i = pl.program_id(0)
-        ty = ty_s[i]
-        tx = tx_s[i]
-
-        @pl.when(first_s[i] == 1)
-        def _init():
-            acc_topk[:] = jnp.full((ph, pw, K), BIG_DEPTH, jnp.float32)
-
-        @pl.when(act_s[i] == 1)
-        def _body():
-            rows = (ty * ph + jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
-                    ).astype(jnp.float32)
-            cols = (tx * pw + jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
-                    ).astype(jnp.float32)
-            xp = (2.0 * cols + 1.0 - is_) / is_
-            yp = (is_ - 1.0 - 2.0 * rows) / is_
-            terms = _pair_terms_kernel(face_ref[0], inv_ref[0], sym_ref[0],
-                                       obt_ref[0], xp, yp, p, layout='px_f')
-            cand = terms['tk_valid'] & (ids_ref[0][0:1, :][None] >= 0)
-            zk = jnp.where(cand, terms['zp'], BIG_DEPTH)      # [ph,pw,FB]
-
-            acc = acc_topk[:]
-            for _ in range(K):
-                m = jnp.min(zk, axis=-1)                      # [ph,pw]
-                zk = jnp.where(zk == m[..., None], BIG_DEPTH, zk)
-                # sorted insert (ascending): ge is a suffix mask.  Masks
-                # stay f32 — Mosaic cannot shift/concat i1 vectors.
-                ge = (m[..., None] <= acc).astype(jnp.float32)  # [ph,pw,K]
-                ge_prev = jnp.concatenate(
-                    [jnp.zeros_like(ge[..., :1]), ge[..., :-1]], -1)
-                ins = ge * (1.0 - ge_prev)
-                shifted = jnp.concatenate([acc[..., :1], acc[..., :-1]], -1)
-                inserted = jnp.where(ins > 0.5, m[..., None], shifted)
-                acc = jnp.where(ge > 0.5, inserted, acc)
-            acc_topk[:] = acc
-
-        @pl.when(last_s[i] == 1)
-        def _fin():
-            thr_ref[0, 0, 0] = acc_topk[:][..., K - 1]
+                lo0 = jnp.full((T2, 1), tlo, jnp.int32)
+                hi0 = jnp.full((T2, 1), thi, jnp.int32)
+                _, hi = jax.lax.fori_loop(0, titers, outer, (lo0, hi0))
+                thr = jax.lax.bitcast_convert_type(hi, jnp.float32)
+                out_ref[0, 0, 7:8, :] = row(thr)
+            else:
+                out_ref[0, 0, 7:8, :] = jnp.zeros((1, T2), jnp.float32)
 
     return kernel
 
 
 def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                         use_thr: bool = False):
+    """px_f backward kernel, flat pair layout + MXU contractions.
+
+    Pixel-map data arrives as one [BWD_PC, t*t] row matrix per tile
+    (channels: out r/g/b/alpha, softmax sum/max, grad r/g/b/alpha, thr).
+    Every sum-over-pixels (face and texture gradients) is a dot_general
+    against the pair arrays; the surface-texture gradient contracts the
+    3-row grad matrix with the per-texel masked coefficients, and the
+    color term needed for the softmax chain is built per texel as a
+    rank-3 outer-product matmul (g3 x texel rows) instead of a 25-way
+    select of full color planes."""
     is_ = p.image_size
     ph = pw = _pf_tile_for(is_)
+    T2 = ph * pw
+    FB = PF_FB
+    HIP = jax.lax.Precision.HIGHEST
 
-    def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
-               ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref, tex_ref,
-               sc_ref, ag_ref, go_ref, *rest):
-        if use_thr:
-            thr_ref = rest[0]
-            gface_ref, gtex_ref = rest[1:]
-        else:
-            gface_ref, gtex_ref = rest
+    def dot_px(a_rows, x):
+        # contract pixels: [M, T2] x [T2, FB] -> [M, FB]
+        return jax.lax.dot_general(a_rows, x, (((1,), (0,)), ((), ())),
+                                   precision=HIP,
+                                   preferred_element_type=jnp.float32)
+
+    def dot_k(g3, tex3):
+        # outer over pixels/faces: [T2, 3] x [3, FB] -> [T2, FB]
+        return jax.lax.dot_general(g3, tex3, (((1,), (0,)), ((), ())),
+                                   precision=HIP,
+                                   preferred_element_type=jnp.float32)
+
+    def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s,
+               ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref,
+               tex_ref, px_ref, gface_ref, gtex_ref):
         i = pl.program_id(0)
         ty = ty_s[i]
         tx = tx_s[i]
@@ -1058,90 +1131,105 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
             obt = obt_ref[0]
             tex = tex_ref[0]                        # [T*3, FB]
             ids = ids_ref[0]                        # [1, FB]
+            px = px_ref[0, 0]                       # [BWD_PC, T2]
+
+            def col(j):
+                return jnp.swapaxes(px[j:j + 1, :], 0, 1)          # [T2,1]
 
             terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p,
                                        layout='px_f')
-            sf_fwd = terms['sf']
-            zp = terms['zp']
-            wc = terms['wc']
-            w = terms['w']
+
+            def fl(a):
+                return a.reshape(T2, FB)
+
+            sf_fwd = fl(terms['sf'])
+            zp = fl(terms['zp'])
+            wc = [fl(c) for c in terms['wc']]
+            w = [fl(c) for c in terms['w']]
+            ids_row = ids[0:1, :]
+            ones_t2 = jnp.ones((1, T2), jnp.float32)
 
             sf = jnp.ones_like(sf_fwd) if p.dist_func_id == 0 else sf_fwd
-            valid = (ids[0:1, :][None] >= 0) & terms['tk_valid']
+            valid = (ids_row >= 0) & fl(terms['tk_valid'])
             if use_thr:
                 # reference top-K policy: only the K nearest candidate
                 # faces per pixel receive gradients (soft_rasterize.py:
                 # 369-385 selection, :1233+ buffer-bounded loop)
-                valid = valid & (zp <= thr_ref[0, 0, 0][..., None])
+                valid = valid & (zp <= col(10))
             vf = valid.astype(jnp.float32)
 
-            g_rgb = [go_ref[0, k, 0][..., None] for k in range(3)]  # [ph,pw,1]
-            g_alpha = go_ref[0, 3, 0][..., None]
-            out_rgb = [sc_ref[0, k, 0][..., None] for k in range(3)]
-            out_alpha = sc_ref[0, 3, 0][..., None]
+            g3 = jnp.swapaxes(px[6:9, :], 0, 1)                    # [T2,3]
+            g_alpha = col(9)
+            out_alpha = col(3)
 
             if p.alpha_func_id == 0:
                 C_grad_xy = jnp.zeros_like(sf)
             elif p.alpha_func_id == 1:
                 C_grad_xy = jnp.broadcast_to(g_alpha / F_total, sf.shape)
             else:
-                C_grad_xy = g_alpha * (1.0 - out_alpha) / jnp.maximum(1.0 - sf, 1e-6)
+                C_grad_xy = g_alpha * (1.0 - out_alpha) / \
+                    jnp.maximum(1.0 - sf, 1e-6)
 
-            gz = [jnp.zeros_like(sf) for _ in range(3)]
+            gz = [None, None, None]
             if p.rgb_func_id == 1:
-                softmax_sum = ag_ref[0, 0, 0][..., None]
-                softmax_max = ag_ref[0, 1, 0][..., None]
+                softmax_sum = col(4)
+                softmax_max = col(5)
                 zpn = (p.far - zp) / (p.far - p.near)
-                e_arg = jnp.where(valid, (zpn - softmax_max) / p.gamma_val, -1e30)
+                e_arg = jnp.where(valid, (zpn - softmax_max) / p.gamma_val,
+                                  -1e30)
                 zp_softmax = sf * jnp.exp(e_arg) / softmax_sum
 
-                colors = _pair_colors(tex, terms, p, T, perspective=False,
-                                      layout='px_f')
-                C_grad_xyz = (g_rgb[0] * (colors[0] - out_rgb[0]) +
-                              g_rgb[1] * (colors[1] - out_rgb[1]) +
-                              g_rgb[2] * (colors[2] - out_rgb[2])) * zp_softmax
+                # S = sum_k g_k * colors_k per pair, via per-texel
+                # outer-product matmuls (colors never materialize)
+                if p.texture_type_id == 0:
+                    R = int(math.sqrt(T))
+                    idx = _surface_tex_idx(wc, R)
+                    S = jnp.zeros_like(sf)
+                    for ti in range(T):
+                        P_ti = dot_k(g3, tex[ti * 3:ti * 3 + 3, :])
+                        S = S + jnp.where(idx == ti, P_ti, 0.0)
+                else:
+                    S = jnp.zeros_like(sf)
+                    for c in range(3):
+                        S = S + wc[c] * dot_k(g3, tex[3 * c:3 * c + 3, :])
+                # sum_k g_k * out_k
+                GO = col(6) * col(0) + col(7) * col(1) + col(8) * col(2)
+                C_grad_xyz = (S - GO) * zp_softmax
                 C_grad_xy = C_grad_xy + C_grad_xyz / jnp.maximum(sf, 1e-30)
 
                 C_grad_z = C_grad_xyz / p.gamma_val / (p.near - p.far) * zp * zp
-                invz = terms['invz']
+                invz = [v.reshape(1, FB) for v in terms['invz']]
                 for k in range(3):
                     gz[k] = C_grad_z * wc[k] * (invz[k] * invz[k])
                 tex_coef = zp_softmax
             elif p.rgb_func_id == 0:
-                fidx_min = ag_ref[0, 1, 0][..., None]
-                is_win = vf * (jnp.abs(ids[0:1, :][None].astype(jnp.float32) -
-                                       fidx_min) < 0.5)
+                fidx_min = col(5)
+                is_win = vf * (jnp.abs(ids_row.astype(jnp.float32) - fidx_min)
+                               < 0.5)
                 tex_coef = is_win
             else:
                 tex_coef = jnp.zeros_like(sf)
 
-            def red(x):
-                # [ph, pw, FB] -> [1, FB] (sum over the pixel tile);
-                # stay >=2-D throughout (Mosaic: no implicit output dims)
-                return jnp.sum(jnp.sum(x, axis=0), axis=0, keepdims=True)
-
             if p.texture_type_id == 0:
                 R = int(math.sqrt(T))
                 idx = _surface_tex_idx(wc, R)
-                gk = [tex_coef * g_rgb[k] for k in range(3)]
                 for ti in range(T):
-                    sel = (idx == ti).astype(jnp.float32)
-                    for k in range(3):
-                        gtex_ref[0, ti * 3 + k:ti * 3 + k + 1, :] = red(sel * gk[k])
+                    w_ti = jnp.where(idx == ti, tex_coef, 0.0)
+                    gtex_ref[0, ti * 3:ti * 3 + 3, :] = dot_px(
+                        jnp.swapaxes(g3, 0, 1), w_ti)              # [3,FB]
             else:
                 for ci in range(3):
-                    coef = tex_coef * wc[ci]
-                    for k in range(3):
-                        gtex_ref[0, ci * 3 + k:ci * 3 + k + 1, :] = \
-                            red(coef * g_rgb[k])
+                    w_ci = tex_coef * wc[ci]
+                    gtex_ref[0, ci * 3:ci * 3 + 3, :] = dot_px(
+                        jnp.swapaxes(g3, 0, 1), w_ci)
 
             C_grad_xy = C_grad_xy * sf * (1.0 - sf) / p.sigma_val
             C_grad_xy = C_grad_xy * vf
 
-            gx = [jnp.zeros_like(sf) for _ in range(3)]
-            gy = [jnp.zeros_like(sf) for _ in range(3)]
+            gx = [None, None, None]
+            gy = [None, None, None]
             if p.dist_func_id == 1:
-                t = terms['t']
+                t = [fl(c) for c in terms['t']]
                 pmin = jnp.where(t[0] > t[1],
                                  jnp.where(t[1] > t[2], 2, 1),
                                  jnp.where(t[0] > t[2], 2, 0))
@@ -1150,9 +1238,9 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                 C = C_grad_xy * scale
                 for l in range(2):
                     inv_p = jnp.where(
-                        pmin == 0, inv[0 + l:1 + l, :][None],
-                        jnp.where(pmin == 1, inv[3 + l:4 + l, :][None],
-                                  inv[6 + l:7 + l, :][None]))
+                        pmin == 0, inv[0 + l:1 + l, :],
+                        jnp.where(pmin == 1, inv[3 + l:4 + l, :],
+                                  inv[6 + l:7 + l, :]))
                     for k in range(3):
                         gv = -inv_p * w[k] * C
                         if l == 0:
@@ -1160,21 +1248,26 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                         else:
                             gy[k] = gv
             elif p.dist_func_id == 2:
-                sign = terms['sign']
-                dis_x = jnp.where(valid, terms['dis_x'], 0.0)
-                dis_y = jnp.where(valid, terms['dis_y'], 0.0)
-                t = terms['t']
+                sign = fl(terms['sign'])
+                dis_x = jnp.where(valid, fl(terms['dis_x']), 0.0)
+                dis_y = jnp.where(valid, fl(terms['dis_y']), 0.0)
+                t = [fl(c) for c in terms['t']]
                 C2 = 2.0 * sign * C_grad_xy
                 for k in range(3):
                     tau = jnp.where(valid, t[k] + w[k], 0.0)
                     gx[k] = C2 * tau * dis_x
                     gy[k] = C2 * tau * dis_y
+            else:
+                z = jnp.zeros_like(sf)
+                gx = [z, z, z]
+                gy = [z, z, z]
 
             for k in range(3):
-                gface_ref[0, 3 * k:3 * k + 1, :] = red(gx[k])
-                gface_ref[0, 3 * k + 1:3 * k + 2, :] = red(gy[k])
-                gface_ref[0, 3 * k + 2:3 * k + 3, :] = \
-                    red(jnp.where(valid, gz[k], 0.0))
+                gzk = jnp.where(valid, gz[k], 0.0) if gz[k] is not None \
+                    else jnp.zeros_like(sf)
+                gface_ref[0, 3 * k:3 * k + 1, :] = dot_px(ones_t2, gx[k])
+                gface_ref[0, 3 * k + 1:3 * k + 2, :] = dot_px(ones_t2, gy[k])
+                gface_ref[0, 3 * k + 2:3 * k + 3, :] = dot_px(ones_t2, gzk)
 
     return kernel
 
@@ -1206,26 +1299,42 @@ def _work_gather_pf(lists, counts, cap, w_cap, B, F, NT, TX, arrays):
     fid_safe = jnp.maximum(ids_w, 0)
     gidx = b_of[:, None] * F + fid_safe
 
-    def g(a):
-        return a.reshape((B * F,) + a.shape[2:])[gidx]
+    # ONE fused row gather: concatenating the per-face arrays first makes
+    # each gathered row ~C_tot*4 bytes instead of 6 thin gathers (row
+    # gathers are latency-bound on TPU; wide rows amortize)
+    widths = [a.shape[2] for a in arrays]
+    fused = jnp.concatenate(arrays, axis=2).reshape(B * F, -1)
+    gall = fused[gidx]                                           # [W,FB,Ct]
 
     def tr(a):
         # [W, FB, C] -> [W, C, FB]: lanes carry faces inside the kernel
         return jnp.swapaxes(a, 1, 2)
 
-    gathered = [tr(jnp.where((ids_w < 0)[..., None], SENTINEL, g(arrays[0])))]
-    gathered += [tr(g(a)) for a in arrays[1:]]
+    gathered = []
+    off = 0
+    for j, c in enumerate(widths):
+        part = gall[..., off:off + c]
+        if j == 0:
+            part = jnp.where((ids_w < 0)[..., None], SENTINEL, part)
+        gathered.append(tr(part))
+        off += c
 
     t_in_b = tile - b_of * NT
     out_ty = t_in_b // TX
     out_tx = t_in_b - out_ty * TX
     active = in_range.astype(jnp.int32)
-    scalars = (b_of, out_ty, out_tx, first, last, active)
+    scalars = (b_of, out_ty, out_tx, chunk, first, last, active)
     return scalars, ids_w[:, None, :].astype(jnp.int32), gathered, total
 
 
-def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
-    """Pre-pass for the px_f layout: 8x8-pixel tiles, empty tiles skipped."""
+def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap,
+                       band=None):
+    """Pre-pass for the px_f layout: 8x8-pixel tiles, empty tiles skipped.
+
+    band: optional (ty0, TY_band) — restrict work to the TY_band tile
+    rows starting at traced row ty0 (pixel-band sharding: each device
+    runs this pre-pass on the full replicated face set but only emits
+    work items for its own band; out_ty scalars become band-local)."""
     B, F = face_vertices.shape[:2]
     face = face_vertices.reshape(B, F, 9)
     T = textures.shape[2] if p.texture_type_id == 0 else 3
@@ -1240,21 +1349,30 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap):
     NT = TY * TX
     lists = build_tile_lists_compact(face, is_, t, t, p.threshold,
                                      _bin_mt_for(F))
+    counts = lists.counts
+    if band is not None:
+        ty0, TY_band = band
+        tile_ty = jnp.arange(NT, dtype=jnp.int32)[None, :] // TX
+        in_band = (tile_ty >= ty0) & (tile_ty < ty0 + TY_band)
+        counts = jnp.where(in_band, counts, 0)
     scalars, ids_w, gathered, total = _work_gather_pf(
-        lists, lists.counts, cap, w_cap, B, F, NT, TX,
+        lists, counts, cap, w_cap, B, F, NT, TX,
         (face, face_inv, face_sym, face_obt, front, tex))
-    report_overflow(lists.counts, cap, total, w_cap,
+    if band is not None:
+        b_of, out_ty, out_tx, chunk, first, last, active = scalars
+        scalars = (b_of, out_ty - ty0, out_tx, chunk, first, last, active)
+    report_overflow(counts, cap, total, w_cap,
                     where=f'softras px_f {is_}px')
     # big faces dropped past the glist cap are missing from EVERY tile
     report_overflow(lists.gdrop[:, None], 0, where=f'softras px_f {is_}px glist')
     g_face, g_inv, g_sym, g_obt, g_front, g_tex = gathered
-    b_of, out_ty, out_tx, first, last, active = scalars
-
-    covered = (lists.counts > 0).reshape(B, TY, TX)
-    per_face = (face, face_inv, face_sym, face_obt)
-    return (ids_w, g_face, g_inv, g_sym, g_obt,
-            g_front, g_tex, b_of, out_ty, out_tx, first, last, active,
-            lists, covered, T, per_face)
+    if band is None:
+        covered = (counts > 0).reshape(B, TY, TX)
+    else:
+        covered = jax.vmap(lambda c: jax.lax.dynamic_slice(
+            c.reshape(TY, TX), (ty0, 0), (TY_band, TX)))(counts > 0)
+    return (ids_w, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
+            scalars, lists, covered, T)
 
 
 def _work_cap_pf(F: int, n_tiles: int, B: int) -> int:
@@ -1263,85 +1381,84 @@ def _work_cap_pf(F: int, n_tiles: int, B: int) -> int:
     return max(64, est)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
+def _scal7_spec(c, FB):
+    return pl.BlockSpec(
+        (1, c, FB),
+        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s: (i, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 5))
+def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
+                                 with_thr: bool = False, ty0=None,
+                                 ty_band: int | None = None):
+    """Returns (out [B,4,H,W], aggrs [B,2,H,W], aux [B,2,H,W]).
+
+    aux[:, 0] is the per-pixel candidate count (reference q_size);
+    aux[:, 1] is the top-K gradient threshold map when with_thr (the
+    K-th smallest candidate depth; bits(far) when under K candidates).
+
+    ty0/ty_band: optional pixel-band restriction (sharded rendering) —
+    only the ty_band tile rows starting at traced tile-row ty0 are
+    rasterized and H becomes ty_band * tile."""
     B, F = face_vertices.shape[:2]
     is_ = p.image_size
     t = _pf_tile_for(is_)
     assert t > 0
     TY = TX = is_ // t
+    T2 = t * t
+    TYB = ty_band if ty_band is not None else TY
+    band = None if ty0 is None else (ty0, TYB)
     cap = max(PF_FB, min(F, 2048))
     cap = (cap + PF_FB - 1) // PF_FB * PF_FB
-    w_cap = _work_cap_pf(F, TY * TX, B)
+    w_cap = _work_cap_pf(F, TYB * TX, B)
 
     (ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
-     out_b, out_ty, out_tx, first, last, active, lists, covered, T, _) = \
-        _prep_work_data_pf(face_vertices, textures, p, cap, w_cap)
+     scalars, lists, covered, T) = \
+        _prep_work_data_pf(face_vertices, textures, p, cap, w_cap, band)
 
     FB = PF_FB
-    kernel = _make_fwd_kernel_pf(p, T, F)
+    n_ch = cap // FB
+    kernel = _make_fwd_kernel_pf(p, T, F, with_thr=with_thr, n_ch=n_ch)
 
-    def in_spec(c):
-        return pl.BlockSpec((1, c, FB),
-                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    # Mosaic wants trailing block dims of (8k, 128) or the full array
-    # dims; emit per-tile [B, C, NT, t, t] blocks and reassemble in XLA.
-    NT = TY * TX
-    out_specs = [
-        pl.BlockSpec((1, 4, 1, t, t),
-                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
-                     (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, 1, t, t),
-                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
-                     (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, t, t),
-                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
-                     (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct((B, 4, NT, t, t), jnp.float32),
-        jax.ShapeDtypeStruct((B, 2, NT, t, t), jnp.float32),
-        jax.ShapeDtypeStruct((B, 1, NT, t, t), jnp.float32),
-    ]
+    NT = TYB * TX
+    out_spec = pl.BlockSpec(
+        (1, 1, FWD_C, T2),
+        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s:
+        (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
+        memory_space=pltpu.VMEM)
     scratch = [
-        pltpu.VMEM((3, t, t), jnp.float32),
-        pltpu.VMEM((t, t), jnp.float32),
-        pltpu.VMEM((t, t), jnp.float32),
-        pltpu.VMEM((t, t), jnp.float32),
-        pltpu.VMEM((t, t), jnp.float32),
-        pltpu.VMEM((t, t), jnp.int32),
-        pltpu.VMEM((t, t), jnp.float32),
+        pltpu.VMEM((4, T2), jnp.float32),       # acc_ns (rgb + softmax sum)
+        pltpu.VMEM((T2, 1), jnp.float32),       # acc_max
+        pltpu.VMEM((T2, 1), jnp.float32),       # acc_alpha
+        pltpu.VMEM((T2, 1), jnp.float32),       # acc_cnt
+        pltpu.VMEM((T2, 8), jnp.float32),       # acc_hard (rgb, dmin, id)
     ]
+    if with_thr:
+        scratch.append(pltpu.VMEM((n_ch, T2, FB), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(w_cap,),
-        in_specs=[in_spec(1), in_spec(9), in_spec(9), in_spec(9), in_spec(3),
-                  in_spec(1), in_spec(g_tex.shape[-1])],
-        out_specs=out_specs,
+        in_specs=[_scal7_spec(1, FB), _scal7_spec(9, FB), _scal7_spec(9, FB),
+                  _scal7_spec(9, FB), _scal7_spec(3, FB), _scal7_spec(1, FB),
+                  _scal7_spec(g_tex.shape[-1], FB)],
+        out_specs=[out_spec],
         scratch_shapes=scratch,
     )
 
-    out_t, aggrs_t, cnt_t = pl.pallas_call(
+    (rows_t,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shapes,
+        out_shape=[jax.ShapeDtypeStruct((B, NT, FWD_C, T2), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=not _is_tpu(),
-    )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
-      g_obt, g_front, g_tex)
+    )(*scalars, ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex)
 
-    def untile(x):
-        C = x.shape[1]
-        return x.reshape(B, C, TY, TX, t, t).transpose(0, 1, 2, 4, 3, 5)                 .reshape(B, C, is_, is_)
-
-    out = untile(out_t)
-    aggrs = untile(aggrs_t)
+    full = rows_t.reshape(B, TYB, TX, FWD_C, t, t) \
+        .transpose(0, 3, 1, 4, 2, 5).reshape(B, FWD_C, TYB * t, is_)
+    out = full[:, 0:4]
+    aggrs = full[:, 4:6]
     # uncovered tiles were never visited -> fill with the empty-pixel values
     mask = jnp.repeat(jnp.repeat(covered, t, axis=1), t, axis=2)[:, None]
     bg = jnp.asarray(p.background_color + (0.0,), jnp.float32)
@@ -1353,116 +1470,68 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams):
     else:
         ag_init = jnp.asarray([BIG_DEPTH, -1.0], jnp.float32)
     aggrs = jnp.where(mask, aggrs, ag_init[None, :, None, None])
-    # third output: per-pixel top-K candidate count [B,H,W] — the
-    # backward's cheap trigger for the K-truncation threshold pass
-    cnt = jnp.where(mask[:, 0], untile(cnt_t)[:, 0], 0.0)
-    return out, aggrs, cnt
+    cnt = jnp.where(mask[:, 0], full[:, 6], 0.0)
+    thr = jnp.where(mask[:, 0], full[:, 7], BIG_DEPTH) if with_thr \
+        else jnp.full_like(cnt, BIG_DEPTH)
+    return out, aggrs, jnp.stack([cnt, thr], axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
+BWD_PC = 11   # out r/g/b/a | softmax sum/max | grad r/g/b/a | thr
+
+
+@functools.partial(jax.jit, static_argnums=(6, 8))
 def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
-                                 aggrs_info, cand_cnt, grad_soft_colors,
-                                 p: SoftRasParams):
-    """cand_cnt is the forward's per-pixel top-K candidate count [B,H,W]."""
+                                 aggrs_info, aux, grad_soft_colors,
+                                 p: SoftRasParams, ty0=None,
+                                 ty_band: int | None = None):
+    """aux is the forward's [B,2,H,W] (candidate count, top-K threshold).
+
+    ty0/ty_band: optional pixel-band restriction — the pixel maps are
+    band-local [B, C, ty_band*tile, W] and the returned face/texture
+    gradients cover only this band's pixels (caller psums over bands)."""
     B, F = face_vertices.shape[:2]
     is_ = p.image_size
     t = _pf_tile_for(is_)
     TY = TX = is_ // t
+    T2 = t * t
+    TYB = ty_band if ty_band is not None else TY
+    band = None if ty0 is None else (ty0, TYB)
     cap = max(PF_FB, min(F, 2048))
     cap = (cap + PF_FB - 1) // PF_FB * PF_FB
-    w_cap = _work_cap_pf(F, TY * TX, B)
+    w_cap = _work_cap_pf(F, TYB * TX, B)
 
     (ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
-     out_b, out_ty, out_tx, first, last, active, lists, covered, T,
-     per_face) = _prep_work_data_pf(face_vertices, textures, p, cap, w_cap)
+     scalars, lists, covered, T) = \
+        _prep_work_data_pf(face_vertices, textures, p, cap, w_cap, band)
+    out_b, active = scalars[0], scalars[6]
 
     FB = PF_FB
-    # reference top-K gradient truncation: only needed when some pixel has
-    # more than K candidates — lax.cond skips the whole threshold sweep at
-    # runtime for ordinary meshes (cand_cnt is the forward's exact count)
+    # reference top-K gradient truncation: the forward already emitted the
+    # exact per-pixel threshold (aux[:,1]); the kernel masks zp <= thr
     use_thr = p.grad_mode == 'topk' and p.max_faces_id < F
     kernel = _make_bwd_kernel_pf(p, T, F, use_thr=use_thr)
 
-    def in_spec(c):
-        return pl.BlockSpec((1, c, FB),
-                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
+    NT = TYB * TX
 
-    NT = TY * TX
-
-    def px_spec(c):
-        return pl.BlockSpec((1, c, 1, t, t),
-                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
-                            (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def tile_px(x):
-        C = x.shape[1]
-        return x.reshape(B, C, TY, t, TX, t).transpose(0, 1, 2, 4, 3, 5)                 .reshape(B, C, NT, t, t)
-
-    soft_colors = tile_px(soft_colors)
-    aggrs_info = tile_px(aggrs_info)
-    grad_soft_colors = tile_px(grad_soft_colors)
-
-    thr_inputs = []
-    thr_specs = []
-    if use_thr:
-        # tiles where no pixel exceeds K candidates keep thr=BIG (their
-        # untruncated gradient IS the top-K gradient); the sweep's work
-        # list covers only overflowing tiles — usually a silhouette-band
-        # fraction of the screen
-        tile_over = (cand_cnt.reshape(B, TY, t, TX, t).max(axis=(2, 4))
-                     > p.max_faces_id).reshape(B, NT)
-
-        def _thr_map():
-            counts_thr = jnp.where(tile_over, lists.counts, 0)
-            (tsc, tids, tg, _) = _work_gather_pf(
-                lists, counts_thr, cap, w_cap, B, F, NT, TX, per_face)
-            tb, tty, ttx, tfirst, tlast, tact = tsc
-            tface, tinv, tsym, tobt = tg
-            tk = _make_topk_thr_kernel_pf(p, F)
-            gs = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=6,
-                grid=(w_cap,),
-                in_specs=[in_spec(1), in_spec(9), in_spec(9), in_spec(9),
-                          in_spec(3)],
-                out_specs=[pl.BlockSpec(
-                    (1, 1, 1, t, t),
-                    lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
-                    (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
-                    memory_space=pltpu.VMEM)],
-                scratch_shapes=[pltpu.VMEM((t, t, p.max_faces_id),
-                                           jnp.float32)],
-            )
-            (thr_t,) = pl.pallas_call(
-                tk, grid_spec=gs,
-                out_shape=[jax.ShapeDtypeStruct((B, 1, NT, t, t),
-                                                jnp.float32)],
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=120 * 1024 * 1024),
-                interpret=not _is_tpu(),
-            )(tb, tty, ttx, tfirst, tlast, tact,
-              tids, tface, tinv, tsym, tobt)
-            thr = thr_t.reshape(B, 1, TY, TX, t, t).transpose(0, 1, 2, 4, 3, 5) \
-                .reshape(B, 1, is_, is_)
-            cmask = jnp.repeat(jnp.repeat(
-                (tile_over & (lists.counts > 0)).reshape(B, TY, TX), t, 1),
-                t, 2)[:, None]
-            return jnp.where(cmask, thr, BIG_DEPTH)
-
-        need = jnp.any(tile_over)
-        thr_map = jax.lax.cond(
-            need, _thr_map,
-            lambda: jnp.full((B, 1, is_, is_), BIG_DEPTH, jnp.float32))
-        thr_inputs = [tile_px(thr_map)]
-        thr_specs = [px_spec(1)]
+    # one [BWD_PC, t*t] row matrix per tile (see kernel channel map)
+    px = jnp.concatenate([soft_colors, aggrs_info, grad_soft_colors,
+                          aux[:, 1:2]], axis=1)
+    px = px.reshape(B, BWD_PC, TYB, t, TX, t).transpose(0, 2, 4, 1, 3, 5) \
+        .reshape(B, NT, BWD_PC, T2)
+    px_spec = pl.BlockSpec(
+        (1, 1, BWD_PC, T2),
+        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s:
+        (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
+        memory_space=pltpu.VMEM)
 
     out_specs = [
         pl.BlockSpec((1, 9, FB),
-                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+                     lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s:
+                     (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T * 3, FB),
-                     lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+                     lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s:
+                     (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shapes = [
@@ -1471,11 +1540,11 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(w_cap,),
-        in_specs=[in_spec(1), in_spec(9), in_spec(9), in_spec(9), in_spec(3),
-                  in_spec(1), in_spec(g_tex.shape[-1]),
-                  px_spec(4), px_spec(2), px_spec(4)] + thr_specs,
+        in_specs=[_scal7_spec(1, FB), _scal7_spec(9, FB), _scal7_spec(9, FB),
+                  _scal7_spec(9, FB), _scal7_spec(3, FB), _scal7_spec(1, FB),
+                  _scal7_spec(g_tex.shape[-1], FB), px_spec],
         out_specs=out_specs,
         scratch_shapes=[],
     )
@@ -1486,9 +1555,7 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=not _is_tpu(),
-    )(out_b, out_ty, out_tx, first, last, active, ids, g_face, g_inv, g_sym,
-      g_obt, g_front, g_tex, soft_colors, aggrs_info, grad_soft_colors,
-      *thr_inputs)
+    )(*scalars, ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex, px)
 
     ids_w = ids[:, 0, :]                                         # [W, FB]
     seg = jnp.where(ids_w >= 0, out_b[:, None] * F + ids_w, B * F)

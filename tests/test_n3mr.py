@@ -197,6 +197,24 @@ class TestBandedBackward:
         assert scale > 0
         np.testing.assert_allclose(got, ref, atol=2e-5 * scale)
 
+    @pytest.mark.parametrize('rr,ra', [(True, True), (True, False),
+                                       (False, True)])
+    def test_pallas_kernel_parity(self, rr, ra):
+        """The Pallas per-item kernel (TPU path) must match the XLA
+        while_loop implementation bit-for-bit-ish (interpret mode here)."""
+        from jrender_tpu.ops.n3mr import banded_bwd
+        face, fi, rgb, alpha, gr, ga, is_ = self._scene()
+        maps = (fi, alpha, ga, rgb, gr)
+        for axis in (0, 1):
+            ref = np.asarray(banded_bwd._axis_pass(
+                face, maps, is_, 1e-3, rr, ra, axis=axis, chunk=128,
+                w_cap_mul=4))
+            got = np.asarray(banded_bwd._axis_pass_pallas(
+                face, maps, is_, 1e-3, rr, ra, axis=axis, chunk=128,
+                w_cap_mul=4))
+            scale = max(np.max(np.abs(ref)), 1e-6)
+            np.testing.assert_allclose(got, ref, atol=2e-5 * scale)
+
     def test_parity_small_chunk_forces_multi_chunk_bands(self):
         """chunk=16 forces several work items per band (list paging path)."""
         from jrender_tpu.ops.n3mr import impl, banded_bwd

@@ -229,9 +229,9 @@ class TestPxFParity:
         tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
         _, _, fid_j = jax_impl.soft_rasterize_fwd_jax(
             jnp.asarray(fv), jnp.asarray(tex), p)
-        _, _, cnt = pallas_impl.soft_rasterize_fwd_pallas_pf(
+        _, _, aux = pallas_impl.soft_rasterize_fwd_pallas_pf(
             jnp.asarray(fv), jnp.asarray(tex), p)
-        np.testing.assert_array_equal(np.asarray(cnt[0]),
+        np.testing.assert_array_equal(np.asarray(aux[0, 0]),
                                       np.asarray((fid_j[0] >= 0).sum(0)))
 
     def _grads_both_pf(self, fv, tex, p, rng, is_=32):
@@ -241,10 +241,11 @@ class TestPxFParity:
         gf_j, gt_j = jax_impl.soft_rasterize_bwd_jax(
             jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j,
             jnp.asarray(g), p)
-        out_p, ag_p, cnt = pallas_impl.soft_rasterize_fwd_pallas_pf(
-            jnp.asarray(fv), jnp.asarray(tex), p)
+        with_thr = p.grad_mode == 'topk' and p.max_faces_id < fv.shape[1]
+        out_p, ag_p, aux = pallas_impl.soft_rasterize_fwd_pallas_pf(
+            jnp.asarray(fv), jnp.asarray(tex), p, with_thr)
         gf_p, gt_p = pallas_impl.soft_rasterize_bwd_pallas_pf(
-            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, cnt,
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
             jnp.asarray(g), p)
         return map(np.asarray, (gf_j, gt_j, gf_p, gt_p))
 
@@ -315,11 +316,12 @@ class TestTopKTruncation:
         return p, fv, tex, g
 
     def _pf_grads(self, p, fv, tex, g):
-        out_p, ag_p, cnt = pallas_impl.soft_rasterize_fwd_pallas_pf(
-            jnp.asarray(fv), jnp.asarray(tex), p)
-        assert float(cnt.max()) > p.max_faces_id  # truncation binds
+        with_thr = p.grad_mode == 'topk' and p.max_faces_id < fv.shape[1]
+        out_p, ag_p, aux = pallas_impl.soft_rasterize_fwd_pallas_pf(
+            jnp.asarray(fv), jnp.asarray(tex), p, with_thr)
+        assert float(aux[:, 0].max()) > p.max_faces_id  # truncation binds
         return map(np.asarray, pallas_impl.soft_rasterize_bwd_pallas_pf(
-            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, cnt,
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
             jnp.asarray(g), p))
 
     def test_topk_matches_oracle_topk(self):
