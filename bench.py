@@ -23,6 +23,14 @@ IMAGE_SIZE = 1024
 RINGS = 130
 SEGS = 153  # 2*SEGS*(RINGS-1) = 39,474 faces
 
+# reference README.md:63-69 — all three mesh rows; the large row is the
+# headline and is printed LAST (the driver parses the final JSON line).
+ROWS = [
+    ('small', 13, 12, 7.3),     # 288 tris
+    ('middle', 38, 45, 11.5),   # 3,330 tris
+    ('large', RINGS, SEGS, BASELINE_MS),
+]
+
 
 def uv_sphere(rings=RINGS, segs=SEGS, radius=0.85):
     """UV sphere triangulation: [V,3], [F,3] (realistic small faces)."""
@@ -59,54 +67,56 @@ def main():
     from jrender_tpu.structures import Mesh
     from jrender_tpu.ops.softras import soft_rasterize
 
-    verts, faces = uv_sphere()
-    mesh = Mesh(verts, faces, texture_res=5, texture_type='surface')
-    v = perspective(look_at(mesh.vertices, eye=[0, 0, -2.732]), angle=30)
-    fv = Mesh(v, mesh.faces).face_vertices.reshape(1, -1, 9)
-    tex = jax.random.uniform(jax.random.PRNGKey(0), (1, fv.shape[1], 25, 3))
-    F = fv.shape[1]
+    for name, rings, segs, baseline in ROWS:
+        verts, faces = uv_sphere(rings=rings, segs=segs)
+        mesh = Mesh(verts, faces, texture_res=5, texture_type='surface')
+        v = perspective(look_at(mesh.vertices, eye=[0, 0, -2.732]), angle=30)
+        fv = Mesh(v, mesh.faces).face_vertices.reshape(1, -1, 9)
+        tex = jax.random.uniform(jax.random.PRNGKey(0),
+                                 (1, fv.shape[1], 25, 3))
+        F = fv.shape[1]
 
-    def one(x, t):
-        img = soft_rasterize(x, t, image_size=IMAGE_SIZE, sigma_val=1e-5,
-                             gamma_val=1e-4)
-        return jnp.sum(img)
+        def one(x, t):
+            img = soft_rasterize(x, t, image_size=IMAGE_SIZE, sigma_val=1e-5,
+                                 gamma_val=1e-4)
+            return jnp.sum(img)
 
-    grad_fn = jax.grad(one, argnums=(0, 1))
+        grad_fn = jax.grad(one, argnums=(0, 1))
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def many(x, t, n):
-        # The carry perturbs the inputs below f32 resolution each step so
-        # the per-iteration grad is NOT loop-invariant — XLA must execute
-        # it n times (a carry-free body gets hoisted out of the scan and
-        # times 1/n of the real cost).
-        def body(c, _):
-            gf, gt = grad_fn(x * (1.0 + c), t)
-            return c + gf[0, 0, 0] * 1e-32, None
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-        return c
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def many(x, t, n):
+            # The carry perturbs the inputs below f32 resolution each step
+            # so the per-iteration grad is NOT loop-invariant — XLA must
+            # execute it n times (a carry-free body gets hoisted out of the
+            # scan and times 1/n of the real cost).
+            def body(c, _):
+                gf, gt = grad_fn(x * (1.0 + c), t)
+                return c + gf[0, 0, 0] * 1e-32, None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
 
-    # warmup / compile (both trip counts)
-    n1, n2 = 2, 12
-    assert np.isfinite(float(many(fv, tex, n1))), 'non-finite gradients'
-    float(many(fv, tex, n2))
-
-    # two-point timing cancels the constant dispatch/tunnel overhead:
-    # per-frame = (T(n2) - T(n1)) / (n2 - n1)
-    best = np.inf
-    for _ in range(3):
-        t0 = time.time()
-        float(many(fv, tex, n1))
-        t1 = time.time()
+        # warmup / compile (both trip counts)
+        n1, n2 = 2, 12
+        assert np.isfinite(float(many(fv, tex, n1))), 'non-finite gradients'
         float(many(fv, tex, n2))
-        t2 = time.time()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3)
 
-    print(json.dumps({
-        'metric': f'softras_fwd_bwd_{IMAGE_SIZE}px_{F}faces',
-        'value': round(best, 2),
-        'unit': 'ms/frame',
-        'vs_baseline': round(BASELINE_MS / best, 3),
-    }))
+        # two-point timing cancels the constant dispatch/tunnel overhead:
+        # per-frame = (T(n2) - T(n1)) / (n2 - n1)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            float(many(fv, tex, n1))
+            t1 = time.time()
+            float(many(fv, tex, n2))
+            t2 = time.time()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3)
+
+        print(json.dumps({
+            'metric': f'softras_fwd_bwd_{IMAGE_SIZE}px_{F}faces',
+            'value': round(best, 2),
+            'unit': 'ms/frame',
+            'vs_baseline': round(baseline / best, 3),
+        }))
 
 
 if __name__ == '__main__':

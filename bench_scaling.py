@@ -56,15 +56,21 @@ def main():
     tex = jnp.asarray(rng.uniform(size=(1, F, 3, 3)).astype(np.float32))
     p = make_params(image_size=is_, sigma_val=1e-4, texture_type='vertex')
 
+    from jrender_tpu.parallel.render import soft_rasterize_sharded_vjp
+
     for n in sizes:
         mesh = make_device_mesh(n_data=n, n_model=1)
+
+        def rloss(f, t):
+            return jnp.sum(soft_rasterize_sharded_vjp(f, t, p, mesh))
+        gfn = jax.jit(jax.grad(rloss, argnums=(0, 1)))
         with mesh:
-            out = soft_rasterize_sharded(fv, tex, p, mesh)
-            jax.block_until_ready(out)
+            gf, gt = gfn(fv, tex)
+            jax.block_until_ready(gf)
             t0 = time.time()
             for _ in range(3):
-                out = soft_rasterize_sharded(fv, tex, p, mesh)
-            jax.block_until_ready(out)
+                gf, gt = gfn(fv, tex)
+            jax.block_until_ready(gf)
             dt = (time.time() - t0) / 3
         results[f'rasterize_px_per_s_{n}dev'] = is_ * is_ / dt
 
@@ -112,7 +118,13 @@ def main():
         results[f'nerf_scaling_eff_{n}dev'] = \
             results[f'nerf_rays_per_s_{n}dev'] / (base_ray * n / sizes[0])
 
-    print(json.dumps({k: round(float(v), 2) for k, v in results.items()}))
+    out = {k: round(float(v), 2) for k, v in results.items()}
+    print(json.dumps(out))
+    import os
+    plat = 'cpu' if args.cpu else jax.devices()[0].platform
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f'SCALING_{plat}.json'), 'w') as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == '__main__':

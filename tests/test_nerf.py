@@ -247,3 +247,88 @@ class TestKerasImport:
                                    weights[-1])
         out = net(jnp.ones((3, ch + ch_d)))
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_keras_import_matches_reference_semantics(self):
+        """Cross-implementation check: an independent torch replica of the
+        reference module (nerf_helper/utils.py:64-145 — same layer graph,
+        same Keras-list indexing, weight.data = transpose(weights[idx]))
+        must produce identical outputs from the same Keras-format weight
+        list.  No official checkpoint ships with the reference and this
+        environment has no network, so the reference's *code* is the
+        ground truth for checkpoint layout; this validates ordering AND
+        forward semantics (skip concat, relu placement, rgb|alpha order),
+        not just slot assignment."""
+        import torch
+        import torch.nn as tnn
+
+        rng = np.random.RandomState(3)
+        D, W, skips = 4, 24, (2,)
+        embed, ch = get_embedder(3)
+        embed_d, ch_d = get_embedder(2)
+
+        class TorchNeRF(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.pts_linears = tnn.ModuleList(
+                    [tnn.Linear(ch, W)] +
+                    [tnn.Linear(W, W) if i not in skips
+                     else tnn.Linear(W + ch, W) for i in range(D - 1)])
+                self.views_linears = tnn.ModuleList(
+                    [tnn.Linear(ch_d + W, W // 2)])
+                self.feature_linear = tnn.Linear(W, W)
+                self.alpha_linear = tnn.Linear(W, 1)
+                self.rgb_linear = tnn.Linear(W // 2, 3)
+
+            def forward(self, x):
+                input_pts, input_views = x[..., :ch], x[..., ch:]
+                h = input_pts
+                for i, l in enumerate(self.pts_linears):
+                    h = torch.relu(l(h))
+                    if i in skips:
+                        h = torch.cat([input_pts, h], -1)
+                alpha = self.alpha_linear(h)
+                feature = self.feature_linear(h)
+                h = torch.cat([feature, input_views], -1)
+                for l in self.views_linears:
+                    h = torch.relu(l(h))
+                return torch.cat([self.rgb_linear(h), alpha], -1)
+
+            def load_keras(self, ws):
+                def put(lin, i):
+                    lin.weight.data = torch.from_numpy(
+                        np.transpose(ws[i]).copy())
+                    lin.bias.data = torch.from_numpy(
+                        np.transpose(ws[i + 1]).copy())
+                for i in range(D):
+                    put(self.pts_linears[i], 2 * i)
+                put(self.feature_linear, 2 * D)
+                put(self.views_linears[0], 2 * D + 2)
+                put(self.rgb_linear, 2 * D + 4)
+                put(self.alpha_linear, 2 * D + 6)
+
+        # Keras checkpoint layout: flat [w0, b0, w1, b1, ...] with
+        # w [in, out] — exactly what np.load('model.npy') yields.
+        weights = []
+        for i in range(D):
+            fan_in = ch if i == 0 else (W + ch if (i - 1) in skips else W)
+            weights += [rng.randn(fan_in, W).astype(np.float32),
+                        rng.randn(W).astype(np.float32)]
+        weights += [rng.randn(W, W).astype(np.float32),
+                    rng.randn(W).astype(np.float32)]
+        weights += [rng.randn(ch_d + W, W // 2).astype(np.float32),
+                    rng.randn(W // 2).astype(np.float32)]
+        weights += [rng.randn(W // 2, 3).astype(np.float32),
+                    rng.randn(3).astype(np.float32)]
+        weights += [rng.randn(W, 1).astype(np.float32),
+                    rng.randn(1).astype(np.float32)]
+
+        ours = NeRF(D=D, W=W, input_ch=ch, input_ch_views=ch_d, skips=skips,
+                    use_viewdirs=True, key=jax.random.PRNGKey(0))
+        ours.load_weights_from_keras(weights)
+        theirs = TorchNeRF()
+        theirs.load_keras(weights)
+
+        x = rng.randn(17, ch + ch_d).astype(np.float32)
+        got = np.asarray(ours(jnp.asarray(x)))
+        want = theirs(torch.from_numpy(x)).detach().numpy()
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

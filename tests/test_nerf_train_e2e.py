@@ -153,7 +153,7 @@ netdepth = 2
 netwidth = 32
 multires = 4
 lrate = 0.005
-N_iters = 40
+N_iters = 100
 steps_per_dispatch = 10
 i_print = 10
 i_weights = 0
@@ -165,4 +165,5 @@ testskip = 1
     params, opt_state, history = train(args)
     psnrs = [h[2] for h in history]
     assert np.isfinite(psnrs[-1])
-    assert psnrs[-1] > psnrs[0] - 0.5
+    # mask-guided sampling must still actually learn
+    assert psnrs[-1] > psnrs[0] + 1.0, f'PSNR did not rise: {psnrs}'
