@@ -342,7 +342,7 @@ def load_llff_data(basedir, factor=8, recenter=True, bd_factor=0.75,
         poses, render_poses, bds = _spherify_poses(poses, bds)
     else:
         c2w = _poses_avg(poses)
-        up = _normalize(poses[:, :3, 1].sum(0))
+        up = _unit(poses[:, :3, 1].sum(0))
         close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
         dt = 0.75
         focal = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)

@@ -35,6 +35,103 @@ def make_blender_dataset(root, n=3, H=24):
             json.dump({'camera_angle_x': 0.6911, 'frames': frames[split]}, f)
 
 
+def make_llff_dataset(root, n=8, H=24, W=32):
+    """Synthetic LLFF scene: cameras on a circle looking at the origin,
+    poses_bounds.npy in the raw LLFF [down, right, back | t | hwf] layout
+    (nerf_helper/load_llff.py's input contract)."""
+    import imageio.v2 as imageio
+
+    imgdir = os.path.join(root, 'images')
+    os.makedirs(imgdir, exist_ok=True)
+    focal = 30.0
+    rows = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        # forward-facing rig (NDC assumes it): small lateral offsets, all
+        # looking at the origin from z ~ 4
+        eye = np.array([0.4 * np.sin(th), 0.3 * np.cos(th), 4.0])
+        back = eye - np.array([0.0, 0.0, 0.0])
+        back = back / np.linalg.norm(back)
+        right = np.cross(np.array([0.0, 1.0, 0.0]), back)
+        right /= np.linalg.norm(right)
+        up = np.cross(back, right)
+        # raw LLFF rotation columns: [down, right, back]
+        m = np.stack([-up, right, back, eye], 1)              # [3,4]
+        hwf = np.array([[H], [W], [focal]])
+        rows.append(np.concatenate([np.concatenate([m, hwf], 1).ravel(),
+                                    [2.5, 6.5]]))
+        # view-consistent image: a fixed radial blob (tiny parallax, so a
+        # radiance field can fit it well)
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing='ij')
+        r = np.sqrt((xs - W / 2) ** 2 + (ys - H / 2) ** 2)
+        v = np.clip(1.0 - r / (H / 2), 0, 1)
+        img = np.stack([v, v * 0.6, 0.2 + 0.3 * v], -1)
+        imageio.imwrite(os.path.join(imgdir, f'img_{i:03d}.png'),
+                        (img * 255).astype(np.uint8))
+    np.save(os.path.join(root, 'poses_bounds.npy'),
+            np.stack(rows).astype(np.float64))
+
+
+def test_load_llff_data_synthetic(tmp_path):
+    """The rewritten LLFF pose path: recenter -> average pose ~ identity,
+    spiral render path finite, hwf rescaled by factor."""
+    from jrender_tpu.nerf.dataset import load_llff_data
+
+    root = str(tmp_path / 'scene')
+    make_llff_dataset(root)
+    images, poses, bds, render_poses, i_test = load_llff_data(
+        root, factor=1, recenter=True, bd_factor=0.75)
+    assert images.shape == (8, 24, 32, 3)
+    assert poses.shape == (8, 3, 5)
+    assert np.isfinite(poses).all() and np.isfinite(render_poses).all()
+    assert 0 <= i_test < 8
+    assert render_poses.shape[0] == 120
+    # bounds rescaled so near ~ 1/bd_factor
+    assert np.isclose(bds.min(), 1.0 / 0.75, rtol=1e-5)
+    # recentred: average camera position at the origin
+    assert np.abs(poses[:, :3, 3].mean(0)).max() < 1e-4
+
+    # spherify path too (rewritten _spherify_poses)
+    _, poses_s, bds_s, rp_s, _ = load_llff_data(
+        root, factor=1, recenter=True, bd_factor=0.75, spherify=True)
+    assert np.isfinite(poses_s).all() and np.isfinite(np.array(rp_s)).all()
+
+
+def test_train_llff_ndc_batched_e2e(tmp_path):
+    """fern-style config: LLFF data through NDC rays + the ray-pool
+    batching path (the reference's default LLFF training mode,
+    demo7-nerf.py:459-520) trains end-to-end."""
+    from jrender_tpu.nerf.config import parse_args
+    from jrender_tpu.nerf.trainer import train
+
+    root = str(tmp_path / 'scene')
+    make_llff_dataset(root)
+    cfg = tmp_path / 'cfg.txt'
+    cfg.write_text("""expname = tl
+dataset_type = llff
+factor = 1
+llffhold = 8
+N_samples = 16
+N_rand = 128
+netdepth = 2
+netwidth = 32
+multires = 4
+lrate = 0.005
+N_iters = 100
+steps_per_dispatch = 10
+i_print = 10
+i_weights = 0
+""")
+    args = parse_args(['--config', str(cfg), '--datadir', root,
+                       '--basedir', str(tmp_path / 'logs')])
+    assert args.dataset_type == 'llff'
+    assert not args.no_batching and not args.no_ndc
+    params, opt_state, history = train(args)
+    psnrs = [h[2] for h in history]
+    assert np.isfinite(psnrs[-1])
+    assert psnrs[-1] > psnrs[0] + 1.0, f'PSNR did not rise: {psnrs}'
+
+
 def test_train_blender_e2e(tmp_path):
     from jrender_tpu.nerf.config import parse_args
     from jrender_tpu.nerf.trainer import train
