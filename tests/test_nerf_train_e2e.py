@@ -132,6 +132,53 @@ i_weights = 0
     assert psnrs[-1] > psnrs[0] + 1.0, f'PSNR did not rise: {psnrs}'
 
 
+def make_dv_dataset(root, scene='cube', n=4, H=16):
+    """Synthetic DeepVoxels layout: {train,validation,test}/<scene>/
+    with intrinsics.txt, pose/*.txt, rgb/*.png."""
+    import imageio.v2 as imageio
+
+    for split in ('train', 'validation', 'test'):
+        base = os.path.join(root, split, scene)
+        os.makedirs(os.path.join(base, 'pose'), exist_ok=True)
+        os.makedirs(os.path.join(base, 'rgb'), exist_ok=True)
+        with open(os.path.join(base, 'intrinsics.txt'), 'w') as f:
+            f.write('280.0 256.0 256.0\n0 0 0\n0.8\n1.0\n512 512\n0\n')
+        for i in range(n):
+            th = 2 * np.pi * i / n
+            eye = np.array([2 * np.sin(th), 0.3, 2 * np.cos(th)])
+            fwd = -eye / np.linalg.norm(eye)
+            right = np.cross([0, 1, 0], -fwd)
+            right = right / np.linalg.norm(right)
+            up = np.cross(-fwd, right)
+            pose = np.eye(4)
+            pose[:3, :3] = np.stack([right, up, -fwd], 1)
+            pose[:3, 3] = eye
+            with open(os.path.join(base, 'pose', f'{i:03d}.txt'), 'w') as f:
+                f.write(' '.join(str(x) for x in pose.ravel()))
+            img = np.full((H, H, 3), (40 * i) % 255, np.uint8)
+            imageio.imwrite(os.path.join(base, 'rgb', f'{i:03d}.png'), img)
+
+
+def test_load_dv_data_synthetic(tmp_path):
+    """DeepVoxels loader (nerf_helper/load_deepvoxels.py parity): splits
+    concatenated train|val|test, intrinsics rescaled to the 512 target,
+    cam2world flipped to the OpenGL convention."""
+    from jrender_tpu.nerf.dataset import load_dv_data
+
+    root = str(tmp_path / 'dv')
+    make_dv_dataset(root, n=4)
+    imgs, poses, render_poses, hwf, i_split = load_dv_data(
+        scene='cube', basedir=root, testskip=1)
+    assert imgs.shape == (12, 16, 16, 3)
+    assert poses.shape == (12, 3, 4)
+    assert [len(s) for s in i_split] == [4, 4, 4]
+    H, W, focal = hwf
+    assert H == W == 512
+    assert np.isclose(focal, 280.0)          # 512/512 * f
+    assert np.isfinite(poses).all()
+    assert render_poses.shape == (4, 3, 4)
+
+
 def test_train_blender_e2e(tmp_path):
     from jrender_tpu.nerf.config import parse_args
     from jrender_tpu.nerf.trainer import train
