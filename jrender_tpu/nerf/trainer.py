@@ -568,7 +568,12 @@ def train(args):
                                render_factor=max(args.render_factor, 1) * 2)
             moviebase = os.path.join(
                 expdir, f'{args.expname}_spiral_{global_step:06d}_rgb.mp4')
-            imageio.mimwrite(moviebase, rgbs, fps=30, quality=8)
+            try:
+                imageio.mimwrite(moviebase, rgbs, fps=30, quality=8)
+            except (ValueError, ImportError):
+                # no ffmpeg backend in this environment: degrade to GIF
+                moviebase = moviebase[:-4] + '.gif'
+                imageio.mimwrite(moviebase, list(rgbs), fps=30)
             print('Saved video', moviebase)
 
         if args.i_testset > 0 and global_step % args.i_testset < spd and \

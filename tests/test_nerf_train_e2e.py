@@ -277,6 +277,46 @@ testskip = 1
     assert psnrs[-1] > psnrs[0] + 2.0, f'PSNR did not rise: {psnrs}'
 
 
+def test_video_and_testset_renders(tmp_path):
+    """i_video / i_testset branches (demo7-nerf.py:604-647): spiral video
+    written via imageio.mimwrite + testset pngs dumped to disk."""
+    from jrender_tpu.nerf.config import parse_args
+    from jrender_tpu.nerf.trainer import train
+
+    root = str(tmp_path / 'data')
+    make_blender_dataset(root)
+    cfg = tmp_path / 'cfg.txt'
+    cfg.write_text("""expname = tv
+dataset_type = blender
+white_bkgd = True
+no_batching = True
+N_samples = 8
+N_rand = 64
+netdepth = 2
+netwidth = 16
+multires = 2
+lrate = 0.005
+N_iters = 20
+steps_per_dispatch = 10
+i_print = 10
+i_weights = 0
+i_video = 20
+i_testset = 20
+testskip = 1
+render_n_views = 4
+""")
+    args = parse_args(['--config', str(cfg), '--datadir', root,
+                       '--basedir', str(tmp_path / 'logs')])
+    train(args)
+    exp = tmp_path / 'logs' / 'tv'
+    vids = list(exp.glob('*rgb.mp4')) + list(exp.glob('*rgb.gif'))
+    assert vids, f'no spiral video written in {list(exp.iterdir())}'
+    testdirs = list(exp.glob('testset_*'))
+    assert testdirs, f'no testset dir in {list(exp.iterdir())}'
+    pngs = list(testdirs[0].glob('*.png'))
+    assert pngs, 'testset dir has no rendered images'
+
+
 def test_train_mask_guided_sampling(tmp_path):
     """valid_ratio >= 0 routes through mask-guided sampling
     (demo7-nerf.py:545-563) and still trains."""
