@@ -112,6 +112,9 @@ def config_parser():
     parser.add_argument('--steps_per_dispatch', type=int, default=20,
                         help='train steps fused per device dispatch (lax.scan)')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--profile_dir', type=str, default='',
+                        help='capture a jax.profiler device trace of one '
+                             'post-compile train dispatch into this dir')
     return parser
 
 

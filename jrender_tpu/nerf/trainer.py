@@ -16,6 +16,7 @@ data axis (the jt.mpi replacement — SURVEY.md §2.4).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 import time
@@ -497,20 +498,29 @@ def train(args):
     history = []
     while global_step < args.N_iters:
         key, sub = jax.random.split(key)
-        if use_batching:
-            params, opt_state, losses, psnrs = scan_train_b(
-                params, opt_state, pool_d, perm_d, i_batch, sub)
-            i_batch += spd * args.N_rand
-            if i_batch + args.N_rand > pool_size:
-                # epoch boundary: reshuffle (demo7-nerf.py:515-519)
-                key, kp = jax.random.split(key)
-                perm_d = jax.random.permutation(kp, pool_size)
-                i_batch = 0
-        else:
-            img_idx = jnp.asarray(rng.choice(i_train, size=spd))
-            params, opt_state, losses, psnrs = scan_train(
-                params, opt_state, images_d, poses_d, img_idx, global_step,
-                sub, masks_d)
+        # device-trace the SECOND dispatch (first is compile) when asked
+        prof = contextlib.ExitStack()
+        if getattr(args, 'profile_dir', '') and global_step == start + spd:
+            from ..utils import profiling
+            prof.enter_context(profiling.trace(args.profile_dir))
+        with prof:
+            if use_batching:
+                params, opt_state, losses, psnrs = scan_train_b(
+                    params, opt_state, pool_d, perm_d, i_batch, sub)
+                i_batch += spd * args.N_rand
+                if i_batch + args.N_rand > pool_size:
+                    # epoch boundary: reshuffle (demo7-nerf.py:515-519)
+                    key, kp = jax.random.split(key)
+                    perm_d = jax.random.permutation(kp, pool_size)
+                    i_batch = 0
+            else:
+                img_idx = jnp.asarray(rng.choice(i_train, size=spd))
+                params, opt_state, losses, psnrs = scan_train(
+                    params, opt_state, images_d, poses_d, img_idx,
+                    global_step, sub, masks_d)
+            if getattr(args, 'profile_dir', '') and \
+                    global_step == start + spd:
+                jax.block_until_ready(losses)
         global_step += spd
 
         if global_step % max(args.i_print // spd * spd, spd) == 0 or \
