@@ -28,8 +28,44 @@ SEGS = 153  # 2*SEGS*(RINGS-1) = 39,474 faces
 ROWS = [
     ('small', 13, 12, 7.3),     # 288 tris
     ('middle', 38, 45, 11.5),   # 3,330 tris
+    ('spot', None, None, None),  # real scanned mesh (subdivided), no ref row
     ('large', RINGS, SEGS, BASELINE_MS),
 ]
+
+SPOT_OBJ = '/root/reference/data/obj/spot/spot_triangulated.obj'
+
+
+def subdivide(verts, faces):
+    """One midpoint (1:4) subdivision — turns spot's 5,856 tris into a
+    23.4k-tri real-geometry benchmark mesh (non-uniform face sizes, real
+    curvature: the honest counterpart to the synthetic UV sphere)."""
+    import numpy as np
+    edges = {}
+    vs = [v for v in verts]
+
+    def mid(a, b):
+        k = (min(a, b), max(a, b))
+        if k not in edges:
+            edges[k] = len(vs)
+            vs.append((verts[a] + verts[b]) * 0.5)
+        return edges[k]
+
+    out = []
+    for a, b, c in faces:
+        ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+        out += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+    return (np.asarray(vs, np.float32),
+            np.asarray(out, np.int32))
+
+
+def spot_mesh():
+    from jrender_tpu.io import load_obj
+    v, f = load_obj(SPOT_OBJ, load_texture=False)[:2]
+    import numpy as np
+    v = np.asarray(v, np.float32)
+    f = np.asarray(f, np.int32)
+    v = (v - v.mean(0)) / np.abs(v - v.mean(0)).max() * 0.85
+    return subdivide(v, f)
 
 
 def uv_sphere(rings=RINGS, segs=SEGS, radius=0.85):
@@ -68,7 +104,13 @@ def main():
     from jrender_tpu.ops.softras import soft_rasterize
 
     for name, rings, segs, baseline in ROWS:
-        verts, faces = uv_sphere(rings=rings, segs=segs)
+        if name == 'spot':
+            import os
+            if not os.path.exists(SPOT_OBJ):
+                continue
+            verts, faces = spot_mesh()
+        else:
+            verts, faces = uv_sphere(rings=rings, segs=segs)
         mesh = Mesh(verts, faces, texture_res=5, texture_type='surface')
         v = perspective(look_at(mesh.vertices, eye=[0, 0, -2.732]), angle=30)
         fv = Mesh(v, mesh.faces).face_vertices.reshape(1, -1, 9)
@@ -111,12 +153,17 @@ def main():
             t2 = time.time()
             best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3)
 
-        print(json.dumps({
-            'metric': f'softras_fwd_bwd_{IMAGE_SIZE}px_{F}faces',
+        row = {
+            'metric': f'softras_fwd_bwd_{IMAGE_SIZE}px_{F}faces'
+                      + ('_spot' if name == 'spot' else ''),
             'value': round(best, 2),
             'unit': 'ms/frame',
-            'vs_baseline': round(baseline / best, 3),
-        }))
+        }
+        # the spot row is a real-geometry honesty check with no
+        # reference number (the reference's meshes are unspecified)
+        if baseline is not None:
+            row['vs_baseline'] = round(baseline / best, 3)
+        print(json.dumps(row))
 
 
 if __name__ == '__main__':
