@@ -234,11 +234,17 @@ def make_train_step(optimizer, render_kwargs, H, W, focal, near, far,
                                   jnp.where(invalid.reshape(-1), 0.0, -2e4))
             order = jnp.argsort(-score)
             j = jnp.arange(N_rand)
+            # invalid-tier index clamped INSIDE the window (<= n_valid +
+            # n_invalid - 1): when the window has fewer invalid pixels
+            # than requested this duplicates the last one rather than
+            # spilling into the outside-window tier
+            in_window_last = jnp.maximum(n_valid + n_invalid - 1, 0)
             pick = jnp.where(
                 uniform,
                 order[j],  # uniform over the window (valid first is fine: all tiers random)
                 jnp.where(j < sample_size, order[j],
-                          order[jnp.clip(n_valid + (j - sample_size), 0, H * W - 1)]))
+                          order[jnp.clip(n_valid + (j - sample_size), 0,
+                                         in_window_last)]))
             # For the uniform branch the reference samples uniformly over the
             # window; tiered `order` is not uniform across tiers, so redraw:
             u_flat = jnp.argsort(-(g + jnp.where(in_window.reshape(-1), 0.0, -2e4)))
@@ -351,15 +357,19 @@ def make_batched_train_step(optimizer, render_kwargs, H, W, focal, near, far,
     return step_fn
 
 
-def make_batched_scan_train(step_fn, steps_per_dispatch, N_rand, pool_size):
-    """Fuse N batched steps per dispatch; offsets wrap modulo the pool."""
+def make_batched_scan_train(step_fn, steps_per_dispatch, N_rand):
+    """Fuse N batched steps per dispatch.  Offsets advance strictly
+    sequentially through `perm` — the caller sizes perm so a dispatch
+    never runs off its end (see train(): perm concatenates enough
+    independent epoch permutations, matching the reference's
+    reshuffle-at-epoch, demo7-nerf.py:515-519)."""
 
     @jax.jit
     def run(params, opt_state, pool, perm, offset0, key):
         def body(carry, i):
             params, opt_state = carry
             k = jax.random.fold_in(key, i)
-            offset = (offset0 + i * N_rand) % (pool_size - N_rand + 1)
+            offset = offset0 + i * N_rand
             params, opt_state, loss, psnr = step_fn(params, opt_state, pool,
                                                     perm, offset, k)
             return (params, opt_state), (loss, psnr)
@@ -477,9 +487,22 @@ def train(args):
         del pool_np
         step_fn = make_batched_train_step(optimizer, render_kwargs_train, H, W,
                                           focal, near, far, args.N_rand, ndc)
-        scan_train_b = make_batched_scan_train(step_fn, spd, args.N_rand, pool_size)
+        scan_train_b = make_batched_scan_train(step_fn, spd, args.N_rand)
+
+        # perm concatenates enough INDEPENDENT epoch permutations that one
+        # dispatch (spd*N_rand rays) never runs off the end — each epoch is
+        # still a proper reshuffled pass over the pool even when the pool
+        # is smaller than a dispatch (tiny datasets)
+        n_epochs_per_perm = (spd * args.N_rand) // pool_size + 2
+
+        def fresh_perm(k):
+            ks = jax.random.split(k, n_epochs_per_perm)
+            return jnp.concatenate(
+                [jax.random.permutation(kk, pool_size) for kk in ks])
+
         key, kp = jax.random.split(key)
-        perm_d = jax.random.permutation(kp, pool_size)
+        perm_d = fresh_perm(kp)
+        perm_len = n_epochs_per_perm * pool_size
         i_batch = 0
     else:
         step_fn = make_train_step(optimizer, render_kwargs_train, H, W, focal,
@@ -508,10 +531,11 @@ def train(args):
                 params, opt_state, losses, psnrs = scan_train_b(
                     params, opt_state, pool_d, perm_d, i_batch, sub)
                 i_batch += spd * args.N_rand
-                if i_batch + args.N_rand > pool_size:
-                    # epoch boundary: reshuffle (demo7-nerf.py:515-519)
+                if i_batch + spd * args.N_rand > perm_len:
+                    # exhausted the pre-built permutations: draw fresh
+                    # ones (epoch reshuffle, demo7-nerf.py:515-519)
                     key, kp = jax.random.split(key)
-                    perm_d = jax.random.permutation(kp, pool_size)
+                    perm_d = fresh_perm(kp)
                     i_batch = 0
             else:
                 img_idx = jnp.asarray(rng.choice(i_train, size=spd))

@@ -35,12 +35,14 @@ from . import impl
 
 BAND = 8          # d0 rows per strip: f32 sublane height
 MT = 32           # max bands a (face,edge) item may span before it goes global
-GBIG = 128        # cap on such global items (prepended to every band)
+GBIG = 512        # cap on such global items (prepended to every band;
+#                   drops past the cap are counted in gdrop and reported)
 
 
 class BandLists(NamedTuple):
     ids: jnp.ndarray      # [n_bands, cap] int32 item indices, -1 padded
     counts: jnp.ndarray   # [n_bands] true items per band (pre-cap)
+    gdrop: jnp.ndarray    # [] i32 global items DROPPED past the GBIG cap
 
 
 def build_band_lists(d0_from, d0_to, valid, n_bands: int, cap: int) -> BandLists:
@@ -62,7 +64,8 @@ def build_band_lists(d0_from, d0_to, valid, n_bands: int, cap: int) -> BandLists
 
     # items spanning > MT bands go into every band's list head (bounded)
     gpos = jnp.cumsum(big.astype(jnp.int32)) - 1
-    gcount = jnp.minimum(jnp.sum(big.astype(jnp.int32)), GBIG)
+    gtrue = jnp.sum(big.astype(jnp.int32))
+    gcount = jnp.minimum(gtrue, GBIG)
     gdest = jnp.where(big & (gpos < GBIG), gpos, GBIG)
     glist = jnp.full((GBIG + 1,), -1, jnp.int32).at[gdest].set(
         jnp.arange(N, dtype=jnp.int32), mode='drop')[:GBIG]
@@ -85,7 +88,8 @@ def build_band_lists(d0_from, d0_to, valid, n_bands: int, cap: int) -> BandLists
                      glist[jnp.minimum(col, GBIG - 1)][None, :], -1)
     ids = jnp.broadcast_to(init, (n_bands, cap)).reshape(-1)
     ids = ids.at[dest].set(items_s, mode='drop')
-    return BandLists(ids=ids.reshape(n_bands, cap), counts=counts)
+    return BandLists(ids=ids.reshape(n_bands, cap), counts=counts,
+                     gdrop=gtrue - gcount)
 
 
 def _axis_pass(face, maps, is_: int, eps: float, return_rgb: bool,
@@ -125,10 +129,14 @@ def _axis_pass(face, maps, is_: int, eps: float, return_rgb: bool,
     cap = (cap + chunk - 1) // chunk * chunk
     lists = build_band_lists(d0_from, d0_to, frontc, n_bands, cap)
 
-    from ..softras.binning import build_work_list
+    from ..softras.binning import build_work_list, report_overflow
     w_cap = _work_cap(N, n_bands, chunk, w_cap_mul)
     wl = build_work_list(lists.counts[None, :], cap, chunk, w_cap,
                          skip_empty=True)
+    report_overflow(lists.counts[None, :], cap, wl.num_items, w_cap,
+                    where=f'n3mr banded_bwd axis{axis} {is_}px')
+    report_overflow(lists.gdrop[None, None], 0,
+                    where=f'n3mr banded_bwd axis{axis} {is_}px glist')
 
     # maps viewed so M[d0, d1] is the pixel (axis 0: transposed)
     def view(m):
@@ -486,6 +494,11 @@ def _axis_pass_pallas(face, maps, is_: int, eps: float, return_rgb: bool,
     w_cap = _work_cap(N, n_bands, chunk, w_cap_mul)
     wl = build_work_list(lists.counts[None, :], cap, chunk, w_cap,
                          skip_empty=True)
+    from ..softras.binning import report_overflow
+    report_overflow(lists.counts[None, :], cap, wl.num_items, w_cap,
+                    where=f'n3mr banded_bwd_pl axis{axis} {is_}px')
+    report_overflow(lists.gdrop[None, None], 0,
+                    where=f'n3mr banded_bwd_pl axis{axis} {is_}px glist')
 
     total = wl.num_items
     in_range = jnp.arange(w_cap, dtype=jnp.int32) < total

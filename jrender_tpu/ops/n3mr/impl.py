@@ -219,14 +219,17 @@ def sampling_tif(weight, depth, zcorn, ts, eps):
 
 
 def tent_weights(tif, ts):
-    """Per-axis tent weights [..., ts]: w_i = max(0, 1-|tif - i|).
+    """Per-axis tent weights, 3 x [P, ts]: w_i = max(0, 1-|tif_a - i|).
 
     Algebraically identical to the reference's 8-corner trilinear taps
     (rasterize.py:259-298): weight (1-frac) lands on floor(tif), frac on
     floor(tif)+1, zero elsewhere — but needs no gathers, so the whole
-    trilinear fetch becomes three dense contractions (TPU-friendly)."""
-    grid = jnp.arange(ts, dtype=tif.dtype)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(tif[..., None] - grid))
+    trilinear fetch becomes three dense contractions (TPU-friendly).
+    Kept strictly 2-D: [P, ts, ...] trailing dims would get (8,128)-tiled
+    by the layout engine."""
+    grid = jnp.arange(ts, dtype=tif.dtype)[None, :]
+    return [jnp.maximum(0.0, 1.0 - jnp.abs(tif[:, a:a + 1] - grid))
+            for a in range(3)]
 
 
 def trilinear_rgb_from_maps(face, tex, face_index, weight, depth, eps):
@@ -255,9 +258,7 @@ def trilinear_rgb_from_maps(face, tex, face_index, weight, depth, eps):
         # trailing dims get (8,128)-tiled by the layout engine and blow
         # memory ~50x at megapixel sizes
         texrow = texf[f_safe]                               # [P, ts^3*3]
-        grid = jnp.arange(ts, dtype=tif.dtype)[None, :]
-        tw = [jnp.maximum(0.0, 1.0 - jnp.abs(tif[:, a:a + 1] - grid))
-              for a in range(3)]                            # 3 x [P,ts]
+        tw = tent_weights(tif, ts)                          # 3 x [P,ts]
         c1 = ts * ts * 3
         t1 = sum(tw[0][:, i:i + 1] * texrow[:, i * c1:(i + 1) * c1]
                  for i in range(ts))                        # [P, ts^2*3]
@@ -285,9 +286,7 @@ def trilinear_rgb_from_rows(texrow, face_index, weight, depth, zcorn, ts, eps):
         dp = depth.reshape(-1)
         zs = zcorn.reshape(-1, 3)
         tif = sampling_tif(wt, dp, zs, ts, eps)             # [P,3]
-        grid = jnp.arange(ts, dtype=tif.dtype)[None, :]
-        tw = [jnp.maximum(0.0, 1.0 - jnp.abs(tif[:, a:a + 1] - grid))
-              for a in range(3)]                            # 3 x [P,ts]
+        tw = tent_weights(tif, ts)                          # 3 x [P,ts]
         c1 = ts * ts * 3
         t1 = sum(tw[0][:, i:i + 1] * texr[:, i * c1:(i + 1) * c1]
                  for i in range(ts))
@@ -322,9 +321,7 @@ def backward_textures_single(tex_shape, face_index, weight, depth, zcorn,
                        zcorn.reshape(-1, 3), ts, eps)      # [P,3]
     # factorized tent outer product, built 2-D with lane repeat/tile
     # (equivalent to the reference's 8 taps; see tent_weights)
-    grid = jnp.arange(ts, dtype=tif.dtype)[None, :]
-    tw = [jnp.maximum(0.0, 1.0 - jnp.abs(tif[:, a:a + 1] - grid))
-          for a in range(3)]                                # 3 x [P,ts]
+    tw = tent_weights(tif, ts)                              # 3 x [P,ts]
     w01 = jnp.repeat(tw[0], ts, axis=1) * jnp.tile(tw[1], (1, ts))   # [P,ts^2]
     w012 = jnp.repeat(w01, ts, axis=1) * jnp.tile(tw[2], (1, ts * ts))
     rows = jnp.repeat(w012, 3, axis=1) * jnp.tile(g, (1, T3))        # [P,T3*3]

@@ -167,9 +167,13 @@ def _prep_maps_pf(face, is_: int, cap: int, w_cap: int, tex=None):
     FB = PF_FB
 
     from ..softras.pallas_impl import _bin_mt_for
+    from ..softras.binning import report_overflow
     neg_y = face * jnp.asarray([1., -1., 1.] * 3, face.dtype)
     lists = build_tile_lists_compact(neg_y, is_, t, t, 0.0, _bin_mt_for(F))
     work = build_work_list(lists.counts, cap, FB, w_cap, skip_empty=True)
+    report_overflow(lists.counts, cap, work.num_items, w_cap,
+                    where=f'n3mr px_f {is_}px')
+    report_overflow(lists.gdrop[:, None], 0, where=f'n3mr px_f {is_}px glist')
 
     total = work.num_items
     last_real = jnp.maximum(total - 1, 0)

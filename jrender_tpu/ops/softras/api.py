@@ -46,16 +46,17 @@ def _soft_rasterize_core(face_vertices, textures, p: SoftRasParams, backend: str
     return out
 
 
-def _pallas_route(p: SoftRasParams, F: int) -> str:
+def _pallas_route(p: SoftRasParams, F: int, for_grad: bool = True) -> str:
     """'px_f' | 'f_px' | 'jax'.  The px_f kernels implement the reference
     top-K gradient truncation (threshold pass); the legacy f_px kernels do
     not, so for non-tileable image sizes a *binding* grad_mode='topk'
     (F > K) is honestly dispatched to the oracle instead of silently
-    dropping the policy."""
+    dropping the policy.  The truncation only affects GRADIENTS — a
+    forward with no grad requested keeps the fast f_px kernel."""
     from . import pallas_impl
     if pallas_impl.LAYOUT == 'px_f' and pallas_impl._pf_tile_for(p.image_size):
         return 'px_f'
-    if p.grad_mode == 'topk' and p.max_faces_id < F:
+    if for_grad and p.grad_mode == 'topk' and p.max_faces_id < F:
         return 'jax'
     return 'f_px'
 
@@ -64,7 +65,7 @@ def _forward(face_vertices, textures, p: SoftRasParams, backend: str,
              for_grad: bool = False):
     if backend == 'pallas':
         from . import pallas_impl
-        route = _pallas_route(p, face_vertices.shape[1])
+        route = _pallas_route(p, face_vertices.shape[1], for_grad)
         if route == 'px_f':
             # the grad-path forward also emits the top-K gradient
             # threshold map (bisected in-kernel); the plain forward skips

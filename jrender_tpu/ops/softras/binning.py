@@ -97,7 +97,13 @@ class CompactLists(NamedTuple):
 
 
 CL_MT = 16     # bands/tiles a face may span before it goes global
-CL_GBIG = 256  # cap on such global faces
+# Cap on such global faces.  Sized generously: with the large-mesh mt=4
+# emission every face spanning >2x2 tiles routes here, so close-up views
+# of big meshes can classify thousands of faces as 'big'; glist entries
+# cost every tile a candidate test but are never silently wrong, while
+# entries past the cap are DROPPED (counted in gdrop, reported via
+# report_overflow).
+CL_GBIG = 1024
 
 
 def _tile_ranges(face, image_size, tile_h, tile_w, threshold):

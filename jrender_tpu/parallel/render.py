@@ -74,18 +74,23 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
     def _sharded(face_r, tex_r):
-        out, _ = _sharded_fwd(face_r, tex_r)
+        # primal (no grad requested): skip the top-K threshold pass —
+        # the truncation only affects gradients
+        out, _ = _run_fwd(face_r, tex_r, False)
         return out
 
-    def _band_fwd(face_b, tex_b):
+    def _band_fwd(face_b, tex_b, with_thr):
         from ..ops.softras import pallas_impl as PI
         ty0 = jax.lax.axis_index(axis).astype(jnp.int32) * TYB
         out, aggrs, aux = PI.soft_rasterize_fwd_pallas_pf(
-            face_b, tex_b, p, p.grad_mode == 'topk' and p.max_faces_id < F,
-            ty0, TYB)
+            face_b, tex_b, p, with_thr, ty0, TYB)
         return out, (aggrs, aux)
 
     def _sharded_fwd(face_r, tex_r):
+        return _run_fwd(face_r, tex_r,
+                        p.grad_mode == 'topk' and p.max_faces_id < F)
+
+    def _run_fwd(face_r, tex_r, with_thr):
         if use_pallas:
             @functools.partial(
                 shard_map, mesh=mesh, in_specs=(P(), P()),
@@ -93,7 +98,7 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
                                                  P(None, None, axis))),
                 check_rep=False)
             def run(fb, tb):
-                return _band_fwd(fb, tb)
+                return _band_fwd(fb, tb, with_thr)
             out, res = run(face_r, tex_r)
         else:
             @functools.partial(

@@ -98,11 +98,12 @@ class TestTracedReporting:
 
 class TestGlistOverflow:
     def test_big_face_drop_counted(self):
-        # 300 screen-filling faces under the large-mesh 4-pair emission
+        # screen-filling faces under the large-mesh 4-pair emission
         # (the F>8192 production setting): all route to the global
-        # big-face list (cap 256) — gdrop must count the 44 dropped,
-        # not hide them
-        F = 300
+        # big-face list (CL_GBIG cap) — gdrop must count the overflow,
+        # not hide it
+        from jrender_tpu.ops.softras.binning import CL_GBIG
+        F = CL_GBIG + 80
         rng = np.random.RandomState(1)
         tri = np.array([[-2, -2, 2.0], [2, -2, 2.0], [0, 2.5, 2.0]],
                        np.float32)
