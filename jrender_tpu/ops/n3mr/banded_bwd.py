@@ -92,22 +92,19 @@ def build_band_lists(d0_from, d0_to, valid, n_bands: int, cap: int) -> BandLists
                      gdrop=gtrue - gcount)
 
 
-def _axis_pass(face, maps, is_: int, eps: float, return_rgb: bool,
-               return_alpha: bool, axis: int, chunk: int, w_cap_mul: int):
-    """One (d0-axis) pass.  Returns a [F*9+1] gradient accumulator.
+def _prep_axis_items(face, is_: int, axis: int, chunk: int, w_cap_mul: int,
+                     where: str):
+    """Shared (face,edge)-item extraction + band binning + work list for
+    the XLA and Pallas axis passes — ONE copy so the two backends can
+    never diverge on the work list.
 
-    Chunks are consumed by a lax.while_loop with a *dynamic* trip count
-    (wl.num_items): the static w_cap only sizes the work arrays, so the
-    skew margin costs memory, not compute — unlike lax.map, which would
-    evaluate every padded chunk's full [C,8,is] grid."""
+    Edge-major [3, F] -> flat [3F]: item i -> edge i//F, face i%F."""
     F = face.shape[0]
-    fi_map, alpha_map, ga_map, rgb_map, gr_map = maps
     pp = impl._pixel_space(face.reshape(F, 3, 3)[:, :, :2], is_)   # [F,3,2]
     front = impl._face_frontside_n3mr(face)                         # [F]
 
     d0c = pp[..., axis]
     d1c = pp[..., 1 - axis]
-    # edge-major [3, F] -> flat [3F]: item i -> edge i//F, face i%F
     p00 = jnp.stack([d0c[:, e] for e in range(3)]).reshape(-1)
     p01 = jnp.stack([d1c[:, e] for e in range(3)]).reshape(-1)
     p10 = jnp.stack([d0c[:, (e + 1) % 3] for e in range(3)]).reshape(-1)
@@ -134,9 +131,26 @@ def _axis_pass(face, maps, is_: int, eps: float, return_rgb: bool,
     wl = build_work_list(lists.counts[None, :], cap, chunk, w_cap,
                          skip_empty=True)
     report_overflow(lists.counts[None, :], cap, wl.num_items, w_cap,
-                    where=f'n3mr banded_bwd axis{axis} {is_}px')
+                    where=f'n3mr {where} axis{axis} {is_}px')
     report_overflow(lists.gdrop[None, None], 0,
-                    where=f'n3mr banded_bwd axis{axis} {is_}px glist')
+                    where=f'n3mr {where} axis{axis} {is_}px glist')
+    return (p00, p01, p10, p11, p20, p21, fid, edge, direction,
+            d0_from, d0_to, lists, wl, cap, w_cap, n_bands)
+
+
+def _axis_pass(face, maps, is_: int, eps: float, return_rgb: bool,
+               return_alpha: bool, axis: int, chunk: int, w_cap_mul: int):
+    """One (d0-axis) pass.  Returns a [F*9+1] gradient accumulator.
+
+    Chunks are consumed by a lax.while_loop with a *dynamic* trip count
+    (wl.num_items): the static w_cap only sizes the work arrays, so the
+    skew margin costs memory, not compute — unlike lax.map, which would
+    evaluate every padded chunk's full [C,8,is] grid."""
+    F = face.shape[0]
+    fi_map, alpha_map, ga_map, rgb_map, gr_map = maps
+    (p00, p01, p10, p11, p20, p21, fid, edge, direction,
+     d0_from, d0_to, lists, wl, cap, w_cap, n_bands) = _prep_axis_items(
+        face, is_, axis, chunk, w_cap_mul, 'banded_bwd')
 
     # maps viewed so M[d0, d1] is the pixel (axis 0: transposed)
     def view(m):
@@ -459,46 +473,15 @@ def _axis_pass_pallas(face, maps, is_: int, eps: float, return_rgb: bool,
     """Pallas version of _axis_pass; same work list, same math."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from ..softras.binning import build_work_list
 
     F = face.shape[0]
     fi_map, alpha_map, ga_map, rgb_map, gr_map = maps
-    pp = impl._pixel_space(face.reshape(F, 3, 3)[:, :, :2], is_)
-    front = impl._face_frontside_n3mr(face)
-
-    d0c = pp[..., axis]
-    d1c = pp[..., 1 - axis]
-    p00 = jnp.stack([d0c[:, e] for e in range(3)]).reshape(-1)
-    p01 = jnp.stack([d1c[:, e] for e in range(3)]).reshape(-1)
-    p10 = jnp.stack([d0c[:, (e + 1) % 3] for e in range(3)]).reshape(-1)
-    p11 = jnp.stack([d1c[:, (e + 1) % 3] for e in range(3)]).reshape(-1)
-    p20 = jnp.stack([d0c[:, (e + 2) % 3] for e in range(3)]).reshape(-1)
-    p21 = jnp.stack([d1c[:, (e + 2) % 3] for e in range(3)]).reshape(-1)
-    fid = jnp.tile(jnp.arange(F, dtype=jnp.int32), 3)
-    edge = jnp.repeat(jnp.arange(3, dtype=jnp.int32), F)
-    frontc = jnp.tile(front, 3)
-
-    sgn = 1.0 if axis == 0 else -1.0
-    direction = jnp.where(p00 < p10, -1.0, 1.0) * sgn
-    d0_from = jnp.maximum(jnp.ceil(jnp.minimum(p00, p10)), 0.0)
-    d0_to = jnp.minimum(jnp.maximum(p00, p10), is_ - 1.0)
+    (p00, p01, p10, p11, p20, p21, fid, edge, direction,
+     d0_from, d0_to, lists, wl, cap, w_cap, n_bands) = _prep_axis_items(
+        face, is_, axis, chunk, w_cap_mul, 'banded_bwd_pl')
     slope = (p11 - p01) / (p10 - p00)
     sA = (p21 - p01) / (p20 - p00)
     sB = (p11 - p21) / (p10 - p20)
-
-    n_bands = (is_ + BAND - 1) // BAND
-    N = 3 * F
-    cap = max(chunk, min(N, _band_cap(F)))
-    cap = (cap + chunk - 1) // chunk * chunk
-    lists = build_band_lists(d0_from, d0_to, frontc, n_bands, cap)
-    w_cap = _work_cap(N, n_bands, chunk, w_cap_mul)
-    wl = build_work_list(lists.counts[None, :], cap, chunk, w_cap,
-                         skip_empty=True)
-    from ..softras.binning import report_overflow
-    report_overflow(lists.counts[None, :], cap, wl.num_items, w_cap,
-                    where=f'n3mr banded_bwd_pl axis{axis} {is_}px')
-    report_overflow(lists.gdrop[None, None], 0,
-                    where=f'n3mr banded_bwd_pl axis{axis} {is_}px glist')
 
     total = wl.num_items
     in_range = jnp.arange(w_cap, dtype=jnp.int32) < total
