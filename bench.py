@@ -93,7 +93,28 @@ def uv_sphere(rings=RINGS, segs=SEGS, radius=0.85):
     return vs, np.asarray(fs, np.int32)
 
 
+def _probe_backend(timeout=240):
+    """Fail fast if the device claim would hang (e.g. TPU tunnel down).
+
+    A dead tunnel makes jax.devices() block forever with no error; probing
+    in a subprocess with a timeout turns that into a clean failure instead
+    of a silently hung benchmark run."""
+    import subprocess
+    import sys
+    try:
+        subprocess.run([sys.executable, '-c', 'import jax; jax.devices()'],
+                       timeout=timeout, check=True,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        print(f'bench.py: device claim hung for {timeout}s '
+              '(TPU tunnel down?) — aborting', file=sys.stderr)
+        sys.exit(1)
+    except subprocess.CalledProcessError:
+        pass  # claim errored quickly; let the real import surface it
+
+
 def main():
+    _probe_backend()
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')

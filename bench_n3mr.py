@@ -35,6 +35,8 @@ MESHES = {
 
 
 def main():
+    from bench import _probe_backend
+    _probe_backend()
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')

@@ -29,6 +29,9 @@ def main():
             ' --xla_force_host_platform_device_count=8'
         import jax
         jax.config.update('jax_platforms', 'cpu')
+    else:
+        from bench import _probe_backend
+        _probe_backend()
     import jax
     import jax.numpy as jnp
     import optax

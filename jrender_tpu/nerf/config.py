@@ -57,6 +57,12 @@ def config_parser():
     parser.add_argument('--lrate_decay', type=int, default=250)
     parser.add_argument('--chunk', type=int, default=1024 * 32)
     parser.add_argument('--netchunk', type=int, default=1024 * 64)
+    parser.add_argument('--net_precision', type=str, default='f32',
+                        choices=['f32', 'bf16'],
+                        help='MLP matmul compute dtype; bf16 keeps f32 '
+                             'params but runs the matmuls on the MXU in '
+                             'bfloat16 (TPU-only win, exact on the '
+                             'accumulate side via preferred_element_type)')
     parser.add_argument('--no_batching', action='store_true')
     parser.add_argument('--no_reload', action='store_true')
     parser.add_argument('--ft_path', type=str, default=None)
@@ -99,6 +105,17 @@ def config_parser():
     parser.add_argument('--far', type=float, default=None)
     parser.add_argument('--do_intrinsic', action='store_true')
     parser.add_argument('--blender_factor', type=int, default=1)
+    parser.add_argument('--faketestskip', type=int, default=1,
+                        help='further subsample the test split for periodic '
+                             'eval (demo7-nerf.py:261,369)')
+    parser.add_argument('--do_pose_normalization', action='store_true',
+                        help='recenter+rescale blender camera positions onto '
+                             'a target_radius sphere (load_blender.py:111)')
+    parser.add_argument('--target_radius', type=float, default=1.0)
+    parser.add_argument('--embed_depth', action='store_true',
+                        help='append the sample depth as a 4th positionally '
+                             'embedded coordinate (demo7-nerf.py:98,204; '
+                             'rayMarching.py:57)')
 
     # logging/saving options
     parser.add_argument('--i_print', type=int, default=100)

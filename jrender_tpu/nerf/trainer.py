@@ -33,8 +33,13 @@ from ..vol.camera import pinhole_get_rays
 
 
 def make_network_query_fn(embed_fn, embeddirs_fn, input_ch, input_ch_views,
-                          skips, use_viewdirs, netchunk=1024 * 64):
-    """Embeds points (+dirs) and evaluates the MLP, chunked via lax.map."""
+                          skips, use_viewdirs, netchunk=1024 * 64,
+                          compute_dtype=None):
+    """Embeds points (+dirs) and evaluates the MLP, chunked via lax.map.
+
+    compute_dtype=jnp.bfloat16 runs the MLP matmuls in bf16 on the MXU
+    (params stay f32; dot accumulation stays f32 via
+    preferred_element_type) — the TPU mixed-precision training path."""
 
     def query(pts, viewdirs, params):
         sh = pts.shape
@@ -45,7 +50,8 @@ def make_network_query_fn(embed_fn, embeddirs_fn, input_ch, input_ch_views,
             embedded = jnp.concatenate([embedded, embeddirs_fn(dirs.reshape(-1, dirs.shape[-1]))], -1)
 
         def apply(x):
-            return nerf_apply(params, x, input_ch, input_ch_views, skips, use_viewdirs)
+            return nerf_apply(params, x, input_ch, input_ch_views, skips,
+                              use_viewdirs, compute_dtype=compute_dtype)
 
         N = embedded.shape[0]
         if N <= netchunk:
@@ -65,7 +71,10 @@ def create_nerf(args, key=None):
     """Instantiate embedders, MLP params, optimizer, and render kwargs."""
     if key is None:
         key = jax.random.PRNGKey(args.seed)
-    embed_fn, input_ch = get_embedder(args.multires, args.i_embed)
+    # embed_depth appends the sample depth as a 4th embedded coordinate
+    # (demo7-nerf.py:96-101; rayMarching.py:57)
+    input_dims = 4 if getattr(args, 'embed_depth', False) else 3
+    embed_fn, input_ch = get_embedder(args.multires, args.i_embed, input_dims)
     input_ch_views = 0
     embeddirs_fn = None
     if args.use_viewdirs:
@@ -82,9 +91,13 @@ def create_nerf(args, key=None):
                                           input_ch, input_ch_views, output_ch,
                                           skips, args.use_viewdirs)
 
+    compute_dtype = (jnp.bfloat16
+                     if getattr(args, 'net_precision', 'f32') == 'bf16'
+                     else None)
     network_query_fn = make_network_query_fn(embed_fn, embeddirs_fn, input_ch,
                                              input_ch_views, skips,
-                                             args.use_viewdirs, args.netchunk)
+                                             args.use_viewdirs, args.netchunk,
+                                             compute_dtype=compute_dtype)
 
     render_kwargs_train = {
         'network_query_fn': network_query_fn,
@@ -94,6 +107,7 @@ def create_nerf(args, key=None):
         'use_viewdirs': args.use_viewdirs,
         'white_bkgd': args.white_bkgd,
         'raw_noise_std': args.raw_noise_std,
+        'embed_depth': getattr(args, 'embed_depth', False),
     }
     if args.dataset_type != 'llff' or args.no_ndc:
         render_kwargs_train['ndc'] = False
@@ -106,6 +120,16 @@ def create_nerf(args, key=None):
     decay_steps = args.lrate_decay * 1000
     schedule = optax.exponential_decay(args.lrate, decay_steps, 0.1)
     optimizer = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-7)
+    acc = max(1, int(getattr(args, 'accumulation_steps', 1)))
+    if acc > 1:
+        # real gradient accumulation (demo7-nerf.py:457-458,579-585 builds
+        # the same machinery with accumulation_steps hardcoded to 1): each
+        # micro-step carries N_rand/acc rays, grads average over acc
+        # micro-steps, and Adam applies once per acc.  MultiSteps' inner
+        # count advances once per real update, so the decay schedule needs
+        # no acc rescaling (the reference scales decay_steps by acc only
+        # because its counter counts micro-iterations).
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=acc)
 
     # checkpoint discovery/restore (:136-155)
     start = 0
@@ -409,8 +433,12 @@ def train(args):
     masks = None
     if args.dataset_type == 'blender':
         images, poses, render_poses, hwf, i_split = dataset.load_blender_data(
-            args.datadir, args.half_res, args.testskip, factor=args.blender_factor)
+            args.datadir, args.half_res, args.testskip, factor=args.blender_factor,
+            do_pose_normalization=getattr(args, 'do_pose_normalization', False),
+            target_radius=getattr(args, 'target_radius', 1.0))
         i_train, i_val, i_test = i_split
+        # periodic eval uses every faketestskip-th test view (demo7:369)
+        i_test = i_test[::max(1, getattr(args, 'faketestskip', 1))]
         near, far = 2.0, 6.0
         masks = images[..., -1:]  # alpha channel (demo7-nerf.py:381)
         if args.white_bkgd:
@@ -471,10 +499,19 @@ def train(args):
     with open(os.path.join(expdir, 'args.txt'), 'w') as f:
         for k in sorted(vars(args)):
             f.write(f'{k} = {getattr(args, k)}\n')
+    # reference also snapshots the raw config file (demo7-nerf.py:422-426)
+    if getattr(args, 'config', None) and os.path.isfile(args.config):
+        with open(args.config) as src, \
+                open(os.path.join(expdir, 'config.txt'), 'w') as dst:
+            dst.write(src.read())
 
     spd = args.steps_per_dispatch
     use_batching = not args.no_batching
     valid_ratio = getattr(args, 'valid_ratio', -1.0)
+    # gradient accumulation: each micro-step carries N_rand/acc rays and
+    # Adam applies every acc micro-steps (MultiSteps; demo7-nerf.py:458)
+    acc = max(1, int(getattr(args, 'accumulation_steps', 1)))
+    n_rand = max(1, args.N_rand // acc)
     images_d = jnp.asarray(images)
     poses_d = jnp.asarray(poses[:, :3, :4] if poses.shape[1] > 3 else poses)
     masks_d = jnp.asarray(masks) if (masks is not None and valid_ratio >= 0) else None
@@ -486,14 +523,14 @@ def train(args):
         pool_d = jnp.asarray(pool_np)
         del pool_np
         step_fn = make_batched_train_step(optimizer, render_kwargs_train, H, W,
-                                          focal, near, far, args.N_rand, ndc)
-        scan_train_b = make_batched_scan_train(step_fn, spd, args.N_rand)
+                                          focal, near, far, n_rand, ndc)
+        scan_train_b = make_batched_scan_train(step_fn, spd, n_rand)
 
         # perm concatenates enough INDEPENDENT epoch permutations that one
         # dispatch (spd*N_rand rays) never runs off the end — each epoch is
         # still a proper reshuffled pass over the pool even when the pool
         # is smaller than a dispatch (tiny datasets)
-        n_epochs_per_perm = (spd * args.N_rand) // pool_size + 2
+        n_epochs_per_perm = (spd * n_rand) // pool_size + 2
 
         def fresh_perm(k):
             ks = jax.random.split(k, n_epochs_per_perm)
@@ -506,7 +543,7 @@ def train(args):
         i_batch = 0
     else:
         step_fn = make_train_step(optimizer, render_kwargs_train, H, W, focal,
-                                  near, far, args.N_rand, args.precrop_iters,
+                                  near, far, n_rand, args.precrop_iters,
                                   args.precrop_frac, ndc, valid_ratio=valid_ratio)
         scan_train = make_scan_train(step_fn, spd,
                                      with_masks=masks_d is not None)
@@ -530,8 +567,8 @@ def train(args):
             if use_batching:
                 params, opt_state, losses, psnrs = scan_train_b(
                     params, opt_state, pool_d, perm_d, i_batch, sub)
-                i_batch += spd * args.N_rand
-                if i_batch + spd * args.N_rand > perm_len:
+                i_batch += spd * n_rand
+                if i_batch + spd * n_rand > perm_len:
                     # exhausted the pre-built permutations: draw fresh
                     # ones (epoch reshuffle, demo7-nerf.py:515-519)
                     key, kp = jax.random.split(key)

@@ -20,6 +20,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.math import normalize
 
@@ -379,6 +380,160 @@ def SSR(color, world_buffer, normal_buffer, faces_ind_buffer, ssr_faces,
     # channel, an apparent typo at SSR_cuda.py:211-213; we add the proper
     # per-channel base color)
     out = jnp.where(st['hit'][..., None], color + reflect_strength * hit_col,
+                    color)
+    return out
+
+
+def _min_depth_pyramid(depth):
+    """Min-pooled Hi-Z pyramid flattened into one 1-D buffer.
+
+    Returns (flat, offsets, sizes): level l occupies flat[offsets[l]:...]
+    as a row-major (sizes[l], sizes[l]) image; level 0 is `depth` itself,
+    each next level 2x2-min-pools the previous (SSR_cuda.py:261-286)."""
+    s = depth.shape[0]
+    levels = [depth]
+    while s > 1:
+        d = levels[-1].reshape(s // 2, 2, s // 2, 2).min(axis=(1, 3))
+        levels.append(d)
+        s //= 2
+    flat = jnp.concatenate([l.reshape(-1) for l in levels])
+    sizes = np.array([l.shape[0] for l in levels], np.int32)
+    offsets = np.concatenate([[0], np.cumsum([l.size for l in levels])[:-1]]
+                             ).astype(np.int32)
+    return flat, jnp.asarray(offsets), jnp.asarray(sizes)
+
+
+def SSR_hiz(color, world_buffer, normal_buffer, faces_ind_buffer, ssr_faces,
+            width, far, level_intersect=0, max_steps=128,
+            world_thickness=0.1, pixel_bias=0.04, reflect_strength=0.4):
+    """Mipmap-accelerated (Hi-Z) screen-space reflections
+    (SSR_cuda.py:260-540, the `SSR_cuda` variant).
+
+    Marches the projected reflection ray against a min-pooled depth
+    pyramid: each step jumps to the next cell boundary of the current
+    level; a pass-below-depth event descends a level, a clear step
+    ascends one, and intersections are only accepted at
+    ``level <= level_intersect``.  O(log) steps on empty stretches vs the
+    naive per-pixel DDA.  Requires a power-of-two image size.
+
+    Deviations from the reference kernel (documented):
+      * hit blend is per-channel ``(1-s)*base + s*hit`` (the reference
+        mixes its red channel into all three, SSR_cuda.py:515-517 — same
+        apparent typo as the naive2 variant);
+      * non-mirror pixels return the input color (the reference writes
+        into a zeros image, leaving them black — debug-oriented);
+      * the march is bounded by ``max_steps`` (unfinished rays = miss).
+    """
+    is_ = color.shape[0]
+    assert is_ & (is_ - 1) == 0, 'Hi-Z SSR needs a power-of-two image size'
+    depth = world_buffer[..., 2]
+    flat_z, offsets, sizes = _min_depth_pyramid(depth)
+    n_levels = sizes.shape[0]
+    intervals = jnp.asarray(2.0 ** np.arange(n_levels, dtype=np.float32))
+
+    ys, xs = jnp.meshgrid(jnp.arange(is_), jnp.arange(is_), indexing='ij')
+    xi = (2 * xs.astype(jnp.float32) + 1 - is_) / is_
+    yi = (2 * (is_ - 1 - ys.astype(jnp.float32)) + 1 - is_) / is_
+    mask = _ssr_mask(faces_ind_buffer, jnp.asarray(ssr_faces))
+
+    wcoord = jnp.stack([xi * depth * width, yi * depth * width, depth], -1)
+    indir = normalize(wcoord, axis=-1)
+    N = normal_buffer
+    outdir = indir - 2 * jnp.sum(indir * N, -1, keepdims=True) * N
+    outdir = normalize(outdir, axis=-1)
+
+    w0 = wcoord + world_thickness * outdir
+    w0p = jnp.stack([w0[..., 0] / w0[..., 2] / width,
+                     w0[..., 1] / w0[..., 2] / width], -1)
+    stepdir = w0p - jnp.stack([xi, yi], -1)
+    stepdir = stepdir / jnp.maximum(
+        jnp.linalg.norm(stepdir, axis=-1, keepdims=True), 1e-12)
+
+    sx, sy = stepdir[..., 0], stepdir[..., 1]
+    step_axis = jnp.abs(sy) > jnp.abs(sx)               # True: walk y
+    sy_c = jnp.where(sy > 0, jnp.maximum(sy, 1e-5), jnp.minimum(sy, -1e-5))
+    sx_c = jnp.where(sx > 0, jnp.maximum(sx, 1e-5), jnp.minimum(sx, -1e-5))
+    step_k = jnp.where(step_axis, sx / sy_c, sy / sx_c)
+    step_pos = jnp.where(step_axis, sy > 0, sx > 0)
+
+    ox, oy = outdir[..., 0], outdir[..., 1]
+    k_axis = jnp.abs(oy) > jnp.abs(ox)
+    oy_s = jnp.where(oy > 0, jnp.maximum(oy, 1e-5), jnp.minimum(oy, -1e-5))
+    ox_s = jnp.where(ox > 0, jnp.maximum(ox, 1e-5), jnp.minimum(ox, -1e-5))
+    ray_k = jnp.where(k_axis, ox / oy_s, oy / ox_s)
+    numer = jnp.where(k_axis, yi * ray_k - xi, xi * ray_k - yi) * wcoord[..., 2]
+
+    state = dict(
+        ray_x=xs.astype(jnp.float32),
+        ray_y=(is_ - 1 - ys).astype(jnp.float32),
+        level=jnp.zeros(mask.shape, jnp.int32),
+        ray_depth=wcoord[..., 2],
+        done=~mask,
+        hit=jnp.zeros(mask.shape, bool),
+        hit_ind=jnp.zeros(mask.shape, jnp.int32),
+    )
+
+    def body(_, st):
+        interval = intervals[st['level']]
+        dsize = sizes[st['level']]
+        dead = (st['ray_depth'] > far) | (st['ray_depth'] < 0)
+        active = ~st['done'] & ~dead
+
+        # next cell boundary of this level along the dominant axis
+        def walk(r0, r1):
+            p0 = jnp.where(step_pos, jnp.floor((r0 + 1) / interval),
+                           jnp.floor((r0 - 1) / interval))
+            n0 = jnp.where(step_pos, (p0 + 1) * interval - 0.5,
+                           p0 * interval + 0.5)
+            n1 = (n0 - r0) * step_k + r1
+            return n0, n1
+        ny_w, nx_w = walk(st['ray_y'], st['ray_x'])     # walked in y
+        nx_v, ny_v = walk(st['ray_x'], st['ray_y'])     # walked in x
+        nxt_x = jnp.where(step_axis, nx_w, nx_v)
+        nxt_y = jnp.where(step_axis, ny_w, ny_v)
+        hz_x = jnp.floor(nxt_x / interval).astype(jnp.int32)
+        hz_y = jnp.floor(nxt_y / interval).astype(jnp.int32)
+
+        off = (hz_x < 0) | (hz_x >= dsize) | (hz_y < 0) | (hz_y >= dsize)
+        ind = offsets[st['level']] + \
+            (dsize - jnp.clip(hz_y, 0, dsize - 1) - 1) * dsize + \
+            jnp.clip(hz_x, 0, dsize - 1)
+        z = flat_z[ind]
+        rxi = (2 * nxt_x + 1 - is_) / is_
+        ryi = (2 * nxt_y + 1 - is_) / is_
+        den = jnp.where(k_axis, ryi * ray_k - rxi, rxi * ray_k - ryi)
+        den = jnp.where(den > 0, jnp.maximum(den, 1e-5),
+                        jnp.minimum(den, -1e-5))
+        rd = numer / den
+
+        at_base = st['level'] <= level_intersect
+        probe = active & ~off
+        below = probe & (rd > z + pixel_bias)
+        advance = probe & ~below
+        miss_off = active & off & at_base
+        finer = (active & off & ~at_base) | (below & ~(at_base & (rd <= far)))
+        hit_try = below & at_base & (rd <= far)
+        hit_now = hit_try & (rd <= z + world_thickness)
+        coarser = advance & (dsize != 1)
+
+        row = is_ - 1 - jnp.clip(nxt_y.astype(jnp.int32), 0, is_ - 1)
+        col = jnp.clip(nxt_x.astype(jnp.int32), 0, is_ - 1)
+        return dict(
+            ray_x=jnp.where(advance, nxt_x, st['ray_x']),
+            ray_y=jnp.where(advance, nxt_y, st['ray_y']),
+            level=st['level'] - finer.astype(jnp.int32)
+                  + coarser.astype(jnp.int32),
+            ray_depth=jnp.where(probe, rd, st['ray_depth']),
+            done=st['done'] | dead | miss_off | hit_try,
+            hit=st['hit'] | hit_now,
+            hit_ind=jnp.where(hit_now, row * is_ + col, st['hit_ind']),
+        )
+
+    st = jax.lax.fori_loop(0, max_steps, body, state)
+    flat_c = color.reshape(-1, 3)
+    hit_col = flat_c[st['hit_ind']]
+    out = jnp.where(st['hit'][..., None],
+                    (1 - reflect_strength) * color + reflect_strength * hit_col,
                     color)
     return out
 

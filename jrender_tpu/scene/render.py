@@ -32,7 +32,8 @@ class Render:
                  dist_coeffs=None, orig_size=512, perspective=True,
                  viewing_angle=30, viewing_scale=1.0, eye=None,
                  camera_direction=(0, 0, 1), threshold=2e-2, up=(0, 1, 0),
-                 MSAA=False, bin_size=0, max_elems_per_bin=0):
+                 MSAA=False, bin_size=0, max_elems_per_bin=0,
+                 ssr_mode='naive'):
         self.transform = Transform(camera_mode, K, R, t, dist_coeffs, orig_size,
                                    perspective, viewing_angle, viewing_scale,
                                    eye, camera_direction)
@@ -47,6 +48,8 @@ class Render:
         self.far = far
         self.fill_back = True
         self.threshold = threshold
+        assert ssr_mode in ('naive', 'hiz')
+        self.ssr_mode = ssr_mode
 
         self._world_buffer = None
         self._normal_buffer = None
@@ -347,6 +350,13 @@ class Render:
         if len(ssr_faces) == 0:
             return color
         width = math.tan(self.viewing_angle / 180.0 * math.pi)
+        if self.ssr_mode == 'hiz':
+            # mipmap-accelerated march (reference SSR_cuda variant,
+            # SSR_cuda.py:260); requires a power-of-two image size
+            return I.SSR_hiz(color, self.world_buffer, self.normal_buffer,
+                             self.faces_ind_buffer,
+                             np.asarray(ssr_faces, np.int32),
+                             width, self.far)
         return I.SSR(color, self.world_buffer, self.normal_buffer,
                      self.faces_ind_buffer, np.asarray(ssr_faces, np.int32),
                      width, self.far, step=1)

@@ -31,9 +31,15 @@ def sphere_obj_path():
     return os.path.join(REFERENCE_DATA, 'obj/sphere/sphere_642.obj')
 
 
-@pytest.fixture(scope='session')
-def rng():
-    return np.random.RandomState(0)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped and seeded from the test id: every test sees the
+    # same mesh/texture content regardless of suite execution order.  (A
+    # session-scoped stream made content order-dependent, which turned a
+    # numerics-tolerance edge into a rare order-dependent flake.)
+    import zlib
+    seed = zlib.crc32(request.node.nodeid.encode()) % (2 ** 31)
+    return np.random.RandomState(seed)
 
 
 def make_random_mesh(rng, num_faces=24, scale=0.7, z_offset=2.5):

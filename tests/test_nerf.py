@@ -130,6 +130,37 @@ class TestModel:
         total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
         assert np.isfinite(total) and total > 0
 
+    def test_bf16_compute_close_to_f32(self):
+        """net_precision=bf16 (bf16 MXU matmuls, f32 params + accumulate)
+        must track the f32 forward closely and keep gradients finite."""
+        from jrender_tpu.nerf.trainer import make_network_query_fn
+        embed_fn, input_ch = get_embedder(10, 0)
+        embeddirs_fn, input_ch_views = get_embedder(4, 0)
+        params = init_nerf_params(jax.random.PRNGKey(1), 8, 256, input_ch,
+                                  input_ch_views, 5, (4,), True)
+        mk = lambda dt: make_network_query_fn(  # noqa: E731
+            embed_fn, embeddirs_fn, input_ch, input_ch_views, (4,), True,
+            netchunk=4096, compute_dtype=dt)
+        q32, qbf = mk(None), mk(jnp.bfloat16)
+
+        k = jax.random.PRNGKey(2)
+        pts = jax.random.uniform(k, (64, 8, 3), minval=-1.0, maxval=1.0)
+        vd = pts[:, 0, :] / jnp.linalg.norm(pts[:, 0, :], axis=-1,
+                                            keepdims=True)
+        o32 = np.asarray(q32(pts, vd, params))
+        obf = np.asarray(qbf(pts, vd, params))
+        assert obf.dtype == np.float32  # accumulate/output stays f32
+        scale = np.abs(o32).mean() + 1e-6
+        assert np.abs(o32 - obf).mean() / scale < 0.02
+
+        def loss(p):
+            return jnp.sum(qbf(pts, vd, p) ** 2)
+
+        g = jax.grad(loss)(params)
+        total = sum(float(jnp.abs(x).sum())
+                    for x in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
+
 
 def _toy_scene_query(pts, viewdirs, _net):
     """Analytic density field: a solid ball of radius 0.5 at origin, red."""
@@ -332,3 +363,49 @@ class TestKerasImport:
         got = np.asarray(ours(jnp.asarray(x)))
         want = theirs(torch.from_numpy(x)).detach().numpy()
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+class TestEmbedDepth:
+    def test_embed_depth_forward(self):
+        """embed_depth appends z as a 4th embedded coordinate
+        (demo7-nerf.py:96-101, rayMarching.py:57): the MLP input channel
+        count grows accordingly and the render stays finite."""
+        from jrender_tpu.nerf.trainer import make_network_query_fn
+
+        embed_fn, input_ch = get_embedder(4, 0, input_dims=4)
+        assert input_ch == 4 + 4 * 2 * 4
+        params = init_nerf_params(jax.random.PRNGKey(0), 2, 32, input_ch,
+                                  0, 4, (4,), False)
+        query = make_network_query_fn(embed_fn, None, input_ch, 0, (4,),
+                                      False, netchunk=4096)
+
+        N = 4
+        rays_o = np.tile(np.array([0, 0, -3.0], np.float32), (N, 1))
+        rays_d = np.tile(np.array([0, 0, 1.0], np.float32), (N, 1))
+        near = np.full((N, 1), 0.1, np.float32)
+        far = np.full((N, 1), 6.0, np.float32)
+        batch = jnp.asarray(np.concatenate([rays_o, rays_d, near, far], -1))
+        out = render_rays(batch, params, query, N_samples=16,
+                          embed_depth=True)
+        assert np.isfinite(np.asarray(out['rgb_map'])).all()
+        # without embed_depth the 4-dim embedder must fail on 3-dim pts
+        with pytest.raises(Exception):
+            render_rays(batch, params, query, N_samples=16,
+                        embed_depth=False)
+
+
+class TestPoseNormalization:
+    def test_normalize_pose_radius(self):
+        """normalize_pose recenters camera positions and rescales the
+        farthest to target_radius (load_blender.py:111-124)."""
+        from jrender_tpu.nerf.dataset import normalize_pose
+        rng_ = np.random.RandomState(3)
+        poses = np.tile(np.eye(4, dtype=np.float64)[None], (10, 1, 1))
+        poses[:, :3, 3] = rng_.uniform(-5, 5, (10, 3)) + np.array([7.0, -2, 3])
+        out = normalize_pose(poses.copy(), target_radius=2.5)
+        pos = out[:, :3, 3]
+        np.testing.assert_allclose(pos.mean(0), 0.0, atol=1e-9)
+        np.testing.assert_allclose(np.linalg.norm(pos, axis=1).max(), 2.5,
+                                   rtol=1e-12)
+        # rotations untouched
+        np.testing.assert_array_equal(out[:, :3, :3], poses[:, :3, :3])

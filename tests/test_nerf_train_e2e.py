@@ -351,3 +351,63 @@ testskip = 1
     assert np.isfinite(psnrs[-1])
     # mask-guided sampling must still actually learn
     assert psnrs[-1] > psnrs[0] + 1.0, f'PSNR did not rise: {psnrs}'
+
+
+@pytest.mark.parametrize('batching', [False, True])
+def test_train_gradient_accumulation(tmp_path, batching):
+    """accumulation_steps > 1 routes through optax.MultiSteps: each
+    micro-step carries N_rand/acc rays, Adam applies once per acc
+    micro-steps (demo7-nerf.py:457-458,579-585), and training learns on
+    both the per-image and the ray-pool-batched sampling paths (the
+    batched path's permutation bookkeeping must advance by the reduced
+    micro-batch size)."""
+    from jrender_tpu.nerf.config import parse_args
+    from jrender_tpu.nerf.trainer import create_nerf, train
+
+    root = str(tmp_path / 'data')
+    make_blender_dataset(root)
+    cfg = tmp_path / 'cfg.txt'
+    cfg.write_text(f"""expname = ta
+dataset_type = blender
+white_bkgd = True
+{'' if batching else 'no_batching = True'}
+accumulation_steps = 2
+N_samples = 16
+N_rand = 128
+netdepth = 2
+netwidth = 32
+multires = 4
+lrate = 0.005
+N_iters = 120
+steps_per_dispatch = 10
+i_print = 10
+i_weights = 0
+testskip = 1
+""")
+    args = parse_args(['--config', str(cfg), '--datadir', root,
+                       '--basedir', str(tmp_path / 'logs')])
+    assert args.accumulation_steps == 2
+
+    # optimizer is a MultiSteps wrapper: mini_step counter present
+    import optax
+    _, _, _, params0, opt, opt_state0 = create_nerf(args)
+    assert isinstance(opt_state0, optax.MultiStepsState)
+    # one micro-step must NOT move params; the second must
+    import jax
+    import jax.numpy as jnp
+    g = jax.tree_util.tree_map(jnp.ones_like, params0)
+    u1, s1 = opt.update(g, opt_state0, params0)
+    p1 = optax.apply_updates(params0, u1)
+    moved1 = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(params0)))
+    assert moved1 == 0.0, 'params moved on an accumulation micro-step'
+    u2, _ = opt.update(g, s1, p1)
+    p2 = optax.apply_updates(p1, u2)
+    moved2 = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(p1)))
+    assert moved2 > 0.0, 'params did not move on the apply micro-step'
+
+    params, opt_state, history = train(args)
+    psnrs = [h[2] for h in history]
+    assert np.isfinite(psnrs[-1])
+    assert psnrs[-1] > psnrs[0] + 1.0, f'PSNR did not rise: {psnrs}'

@@ -141,6 +141,35 @@ class TestImageOps:
         assert occ.shape == (is_, is_)
         assert occ.max() > 0.0 and occ.min() >= 0.0
 
+    def test_ssdo_bounces_occluder_color(self):
+        """SSDO gathers bounce color from occluders: a red near wall must
+        bleed red onto the deeper floor next to it, strongest at the base,
+        never invent other channels, and leave background pixels alone."""
+        is_ = 32
+        depth = np.full((is_, is_), 5.0, np.float32)
+        depth[:, 16:] = 2.0  # right half steps toward the camera
+        normals = np.zeros((is_, is_, 3), np.float32)
+        normals[..., 2] = -1.0
+        fi = np.zeros((is_, is_), np.int32)
+        fi[:, :2] = -1  # background strip
+        color = np.zeros((is_, is_, 3), np.float32)
+        color[:, 16:, 0] = 1.0  # the occluding step is pure red
+        out = np.asarray(I.SSDO(jnp.asarray(color), jnp.asarray(depth),
+                                jnp.asarray(fi), jnp.asarray(normals),
+                                width=0.5, sample_num=128,
+                                sample_range_r=2.0,
+                                key=jax.random.PRNGKey(0)))
+        assert np.isfinite(out).all()
+        bounce = out - color
+        # the only scene color is red: bounce must not invent green/blue
+        assert bounce[..., 1:].max() <= 1e-6
+        near = bounce[:, 12:16, 0]  # floor columns at the base of the step
+        far = bounce[:, 2:6, 0]     # open floor far from the step
+        assert near.max() > 0.01
+        assert near.mean() > far.mean()
+        # background pixels (faces_ind < 0) pass through unchanged
+        np.testing.assert_array_equal(out[:, :2], color[:, :2])
+
     def test_gaussian_blur_smooths(self):
         img = np.zeros((16, 16), np.float32)
         img[8, 8] = 1.0
@@ -190,36 +219,103 @@ class TestVoxelize:
         assert np.asarray(vox).shape == (1, 16, 16, 16)
 
 
+def _mirror_floor_scene(is_=64, width=0.5):
+    """Synthetic G-buffers shared by the SSR/SSSR tests: a mirror floor at
+    y=-1 (bottom half) and a bright red wall at z=5, camera looking +z.
+    Returns (world, normals, color, faces_ind, ssr_faces, is_floor)."""
+    ys, xs = np.meshgrid(np.arange(is_), np.arange(is_), indexing='ij')
+    xi = (2 * xs + 1 - is_) / is_
+    yi = (2 * (is_ - 1 - ys) + 1 - is_) / is_
+    # floor: y = -1 -> depth where yi*width*z = -1 -> z = -1/(yi*width)
+    floor_z = np.where(yi < -0.05, -1.0 / (yi * width), 100.0)
+    wall_z = np.full_like(floor_z, 5.0)
+    depth = np.where(floor_z < wall_z, floor_z, wall_z).astype(np.float32)
+    is_floor = floor_z < wall_z
+    world = np.stack([xi * width * depth, yi * width * depth, depth], -1)
+    normals = np.where(is_floor[..., None],
+                       np.array([0, 1.0, 0], np.float32),
+                       np.array([0, 0, -1.0], np.float32)).astype(np.float32)
+    color = np.where(is_floor[..., None],
+                     np.array([0.1, 0.1, 0.1], np.float32),
+                     np.array([0.9, 0.1, 0.1], np.float32)).astype(np.float32)
+    faces_ind = np.where(is_floor, 0, 1000).astype(np.int32)
+    ssr_faces = np.array([0, 500], np.int32)  # floor faces reflective
+    return world, normals, color, faces_ind, ssr_faces, is_floor
+
+
+
 class TestSSR:
     def test_mirror_floor_reflects(self):
         """Synthetic G-buffers: flat mirror floor + a bright wall; SSR must
         add reflected wall color onto floor pixels."""
-        is_ = 64
         width = 0.5
-        # camera looks +z; floor at y=-1 (bottom half), wall at z=5 (top half)
-        ys, xs = np.meshgrid(np.arange(is_), np.arange(is_), indexing='ij')
-        xi = (2 * xs + 1 - is_) / is_
-        yi = (2 * (is_ - 1 - ys) + 1 - is_) / is_
-        # floor: y = -1 -> depth where yi*width*z = -1 -> z = -1/(yi*width)
-        floor_z = np.where(yi < -0.05, -1.0 / (yi * width), 100.0)
-        wall_z = np.full_like(floor_z, 5.0)
-        depth = np.where(floor_z < wall_z, floor_z, wall_z).astype(np.float32)
-        is_floor = floor_z < wall_z
-        world = np.stack([xi * width * depth, yi * width * depth, depth], -1)
-        normals = np.where(is_floor[..., None],
-                           np.array([0, 1.0, 0], np.float32),
-                           np.array([0, 0, -1.0], np.float32)).astype(np.float32)
-        color = np.where(is_floor[..., None],
-                         np.array([0.1, 0.1, 0.1], np.float32),
-                         np.array([0.9, 0.1, 0.1], np.float32)).astype(np.float32)
-        faces_ind = np.where(is_floor, 0, 1000).astype(np.int32)
-        ssr_faces = np.array([0, 500], np.int32)  # floor faces reflective
+        world, normals, color, faces_ind, ssr_faces, is_floor = \
+            _mirror_floor_scene(width=width)
 
         out = np.asarray(I.SSR(jnp.asarray(color), jnp.asarray(world),
                                jnp.asarray(normals), jnp.asarray(faces_ind),
                                ssr_faces, width, far=100.0, max_steps=128))
         gained = (out - color)[is_floor]
         assert gained.max() > 0.2  # some floor pixel picked up the red wall
+
+    def test_hiz_matches_naive_hits(self):
+        """The mipmap-accelerated variant (SSR_cuda.py:260) must find the
+        same reflections as the naive DDA march on the mirror-floor scene:
+        hits only on the floor, strongly overlapping the naive hit set."""
+        width = 0.5
+        world, normals, color, faces_ind, ssr_faces, is_floor = \
+            _mirror_floor_scene(width=width)
+
+        # thickness 0.5: the scene's depth step per marched pixel (~0.2 at
+        # the wall) must fit inside hiz's (z+pixel_bias, z+thickness] window
+        naive = np.asarray(I.SSR(jnp.asarray(color), jnp.asarray(world),
+                                 jnp.asarray(normals), jnp.asarray(faces_ind),
+                                 ssr_faces, width, far=100.0, max_steps=256,
+                                 world_thickness=0.5))
+        hiz = np.asarray(I.SSR_hiz(jnp.asarray(color), jnp.asarray(world),
+                                   jnp.asarray(normals),
+                                   jnp.asarray(faces_ind), ssr_faces, width,
+                                   far=100.0, max_steps=128,
+                                   world_thickness=0.5))
+        hits_naive = np.any(naive != color, axis=-1)
+        hits_hiz = np.any(hiz != color, axis=-1)
+        # reflections only appear on the reflective floor
+        assert not hits_hiz[~is_floor].any()
+        assert hits_hiz.sum() > 0
+        # the two marches agree on the bulk of the hit set (edge pixels may
+        # differ: hiz uses the reference's 0.04 pixel_bias, naive none)
+        inter = (hits_naive & hits_hiz).sum()
+        assert inter >= 0.5 * max(hits_naive.sum(), 1)
+        # hi-z hits picked up the red wall color
+        assert (hiz - color)[..., 0][hits_hiz].max() > 0.2
+
+
+class TestSSSR:
+    def test_zero_roughness_equals_mirror(self):
+        """At roughness=0 the GGX half-vector collapses to the normal, so
+        every stochastic sample marches the exact mirror ray: SSSR's bounce
+        must equal the naive SSR gain at reflect_strength=1."""
+        is_ = 64
+        width = 0.5
+        world, normals, color, faces_ind, ssr_faces, is_floor = \
+            _mirror_floor_scene(is_=is_, width=width)
+        rough = np.zeros((is_, is_, 1), np.float32)
+
+        bounce = np.asarray(I.SSSR(jnp.asarray(color), jnp.asarray(world),
+                                   jnp.asarray(normals), jnp.asarray(rough),
+                                   jnp.asarray(faces_ind), ssr_faces, width,
+                                   far=100.0, spp=2, max_steps=128))
+        mirror = np.asarray(I.SSR(jnp.asarray(color), jnp.asarray(world),
+                                  jnp.asarray(normals),
+                                  jnp.asarray(faces_ind), ssr_faces, width,
+                                  far=100.0, max_steps=128,
+                                  reflect_strength=1.0))
+        gain = mirror - color
+        assert np.abs(bounce).max() > 0.2  # real reflected signal
+        # near-exact agreement; knife-edge hit pixels may flip (cos_t has a
+        # 1e-9 regularizer), allow <1% of pixels to differ
+        diff = np.abs(bounce - gain).max(-1)
+        assert (diff > 1e-3).mean() < 0.01
 
 
 class TestSSS:
