@@ -888,19 +888,23 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
 
         @pl.when(first_s[i] == 1)
         def _init():
-            ns0 = jnp.zeros((4, T2), jnp.float32)
-            ns0 = ns0.at[0, :].set(bg[0]).at[1, :].set(bg[1]).at[2, :].set(bg[2])
-            ns0 = ns0.at[3, :].set(1.0)
-            acc_ns[:] = ns0
+            # (concatenate, not .at[]: Pallas TPU cannot lower scatter)
+            acc_ns[:] = jnp.concatenate(
+                [jnp.full((1, T2), bg[0], jnp.float32),
+                 jnp.full((1, T2), bg[1], jnp.float32),
+                 jnp.full((1, T2), bg[2], jnp.float32),
+                 jnp.ones((1, T2), jnp.float32)], axis=0)
             acc_max[:] = jnp.full((T2, 1), p.eps, jnp.float32)
             if p.alpha_func_id == 2:
                 acc_alpha[:] = jnp.ones((T2, 1), jnp.float32)
             else:
                 acc_alpha[:] = jnp.zeros((T2, 1), jnp.float32)
             acc_cnt[:] = jnp.zeros((T2, 1), jnp.float32)
-            h0 = jnp.zeros((T2, 8), jnp.float32)
-            h0 = h0.at[:, 3].set(BIG_DEPTH).at[:, 4].set(-1.0)
-            acc_hard[:] = h0
+            acc_hard[:] = jnp.concatenate(
+                [jnp.zeros((T2, 3), jnp.float32),
+                 jnp.full((T2, 1), BIG_DEPTH, jnp.float32),
+                 jnp.full((T2, 1), -1.0, jnp.float32),
+                 jnp.zeros((T2, 3), jnp.float32)], axis=1)
 
         @pl.when(act_s[i] == 1)
         def _merge():
@@ -984,11 +988,12 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                     invz = [v.reshape(1, FB) for v in terms['invz']]
                     wc = [fl(c) for c in terms['wc']]
                     base = expz * zp
+                    d_rgb = jnp.zeros((3, T2), jnp.float32)
                     for c in range(3):
                         w_c = base * wc[c] * invz[c]
-                        delta = delta.at[0:3, :].add(
-                            dot11(tex[3 * c:3 * c + 3, :], w_c))
-                    delta = delta.at[3:4, :].add(dot11(ones_row, expz))
+                        d_rgb = d_rgb + dot11(tex[3 * c:3 * c + 3, :], w_c)
+                    delta = jnp.concatenate(
+                        [d_rgb, dot11(ones_row, expz)], axis=0)
                 acc_ns[:] = acc_ns[:] * resc_row + delta
                 acc_max[:] = M_new
             elif p.rgb_func_id == 0:
@@ -1006,15 +1011,13 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                                       layout='px_f')
                 upd = (blk_min < acc_hard[:, 3:4]) & (blk_min < BIG_DEPTH)
                 hard = acc_hard[:]
+                cols = []
                 for k in range(3):
                     c_sel = jnp.sum(onehot * fl(colors[k]), -1, keepdims=True)
-                    hard = hard.at[:, k:k + 1].set(
-                        jnp.where(upd, c_sel, hard[:, k:k + 1]))
-                hard = hard.at[:, 3:4].set(
-                    jnp.where(upd, blk_min, hard[:, 3:4]))
-                hard = hard.at[:, 4:5].set(
-                    jnp.where(upd, id_sel, hard[:, 4:5]))
-                acc_hard[:] = hard
+                    cols.append(jnp.where(upd, c_sel, hard[:, k:k + 1]))
+                cols.append(jnp.where(upd, blk_min, hard[:, 3:4]))
+                cols.append(jnp.where(upd, id_sel, hard[:, 4:5]))
+                acc_hard[:] = jnp.concatenate(cols + [hard[:, 5:8]], axis=1)
 
         @pl.when(last_s[i] == 1)
         def _fin():
