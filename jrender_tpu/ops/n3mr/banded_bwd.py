@@ -299,8 +299,12 @@ def _band_cap(F: int) -> int:
 
 def _work_cap(N: int, n_bands: int, chunk: int, mul: int) -> int:
     """Static work-list size: avg occupancy (every edge spans ~2 bands)
-    plus per-band ceil rounding, with a skew multiplier."""
-    return mul * ((2 * N) // chunk + 1) + n_bands
+    plus per-band ceil rounding, with a skew multiplier.  A non-empty
+    glist prepends up to GBIG items to EVERY band, so reserve
+    ceil(GBIG/chunk) chunks per band on top — build_work_list silently
+    drops chunks past the cap and jit'd callers cannot be warned."""
+    gchunks = (GBIG + chunk - 1) // chunk
+    return mul * ((2 * N) // chunk + 1) + n_bands * (1 + gchunks)
 
 
 def _is_tpu() -> bool:

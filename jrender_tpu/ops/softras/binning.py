@@ -97,13 +97,16 @@ class CompactLists(NamedTuple):
 
 
 CL_MT = 16     # bands/tiles a face may span before it goes global
-# Cap on such global faces.  Sized generously: with the large-mesh mt=4
-# emission every face spanning >2x2 tiles routes here, so close-up views
-# of big meshes can classify thousands of faces as 'big'; glist entries
-# cost every tile a candidate test but are never silently wrong, while
-# entries past the cap are DROPPED (counted in gdrop, reported via
-# report_overflow).
-CL_GBIG = 1024
+# Cap on such global faces.  Capped at ONE face block (128): glist
+# entries are prepended to EVERY tile's candidate list, so a non-empty
+# glist puts at least one work chunk on every tile — the static work-list
+# bound (_work_cap_pf) reserves exactly one extra chunk per tile for it.
+# A larger cap would multiply that reserved floor (ceil(CL_GBIG/128)
+# chunks per tile) in every compile, for a case (>128 faces on screen
+# EACH spanning >mt tiles) that is pathological for any tiled
+# rasterizer; entries past the cap are DROPPED (counted in gdrop,
+# reported via report_overflow).
+CL_GBIG = 128
 
 
 def _tile_ranges(face, image_size, tile_h, tile_w, threshold):

@@ -807,13 +807,20 @@ def _bin_mt_for(F: int) -> int:
     Large meshes are made of small faces: a face whose inflated bbox fits
     within one tile edge spans at most 2x2 tiles, so mt=4 quarters the
     sort length (the dominant binning cost).  Bigger faces spill to the
-    glist (capped, reported via gdrop).  Small meshes keep the generous
-    span so only truly huge faces go global."""
+    glist (capped, reported via gdrop).  Small meshes get a GENEROUS span
+    (their pair arrays are tiny either way): a non-empty glist costs one
+    work chunk on every tile — ~NT extra chunks of kernel work — so for
+    a 300-face mesh whose faces legitimately span ~20 tiles at 1024px,
+    mt=32 keeps them in the cheap sorted-run path."""
     env = os.environ.get('JR_BIN_MT')
     if env:
         return int(env)
     from .binning import CL_MT
-    return 4 if F > 8192 else CL_MT
+    if F > 8192:
+        return 4
+    if F <= 1024:
+        return 2 * CL_MT
+    return CL_MT
 
 
 def _pf_tile_for(image_size: int) -> int:
@@ -1379,8 +1386,20 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap,
 
 
 def _work_cap_pf(F: int, n_tiles: int, B: int) -> int:
-    # most covered tiles need 1 chunk of 128; skew margin via 6x avg pairs
-    est = B * min(n_tiles, (6 * F) // PF_FB + n_tiles // 4) + 64
+    """Static bound on total px_f work items.
+
+    Must DOMINATE the true demand — build_work_list drops chunks past it
+    and under jit the overflow report cannot warn eagerly.  Two terms:
+      * B*n_tiles floor: a non-empty glist (big faces, prepended to every
+        tile) forces >= 1 chunk on EVERY tile even if its sorted run is
+        empty (CL_GBIG <= PF_FB, so exactly one).
+      * sorted-run chunks: <= mt pairs per face (mt <= CL_MT) plus one
+        ceil-rounding chunk per covered tile (n_tiles//4 margin).
+    """
+    from .binning import CL_GBIG
+    assert CL_GBIG <= PF_FB, 'glist floor sized as one chunk per tile'
+    mt = _bin_mt_for(F)
+    est = B * (n_tiles + (mt * F) // PF_FB + n_tiles // 4) + 64
     return max(64, est)
 
 
