@@ -95,13 +95,29 @@ def _backward(face_vertices, textures, soft_colors, aggrs, faces_id, g,
 
 
 def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
+    if backend == 'pallas':
+        from . import pallas_impl
+        if _pallas_route(p, face_vertices.shape[1], True) == 'px_f':
+            # share the binning/gather prep between fwd and bwd: it is a
+            # pure function of (face_vertices, textures) and costs a sort
+            # + large gathers — running it once per frame, not twice
+            with_thr = (p.grad_mode == 'topk'
+                        and p.max_faces_id < face_vertices.shape[1])
+            prep = pallas_impl.prep_pf(face_vertices, textures, p)
+            out, aggrs, aux = pallas_impl.soft_rasterize_fwd_pallas_pf(
+                face_vertices, textures, p, with_thr, prep=prep)
+            return out, (face_vertices, textures, out, aggrs, aux, prep)
     out, aggrs, faces_id = _forward(face_vertices, textures, p, backend,
                                     for_grad=True)
-    return out, (face_vertices, textures, out, aggrs, faces_id)
+    return out, (face_vertices, textures, out, aggrs, faces_id, None)
 
 
 def _core_bwd(p: SoftRasParams, backend: str, res, g):
-    face_vertices, textures, out, aggrs, faces_id = res
+    face_vertices, textures, out, aggrs, faces_id, prep = res
+    if prep is not None:
+        from . import pallas_impl
+        return pallas_impl.soft_rasterize_bwd_pallas_pf(
+            face_vertices, textures, out, aggrs, faces_id, g, p, prep=prep)
     gf, gt = _backward(face_vertices, textures, out, aggrs, faces_id, g, p, backend)
     return gf, gt
 

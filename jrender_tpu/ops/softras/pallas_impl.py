@@ -65,28 +65,34 @@ def _sel3(sel, a0, a1, a2):
     return jnp.where(sel == 0, a0, jnp.where(sel == 1, a1, a2))
 
 
-def _euclid_kernel(w, fx, fy, sym9, obt, xp, yp):
+ABLATE = os.environ.get('JR_ABLATE', '')
+
+
+def _euclid_kernel(w, fx, fy, sym9, obt, xp, yp, with_t=True):
     """Component-wise euclidean_p2f_distance (soft_rasterize.py:57-147).
 
     Shares the three along-edge projection coordinates t0_k between the
     inside (unclamped argmin) and outside (clamped, corner-casework)
     branches; distances use dx = fx[k1] + t0*(fx[k]-fx[k1]) - (w . fx).
 
-    Returns (sign, dis_x, dis_y, t) with t a 3-tuple of offsets (tau - w)."""
+    Returns (sign, dis_x, dis_y, t) with t a 3-tuple of offsets (tau - w);
+    t is None when with_t=False (forward pass — only gradients need it)."""
     inside = ((w[0] > 0) & (w[1] > 0) & (w[2] > 0) &
               (w[0] < 1) & (w[1] < 1) & (w[2] < 1))
 
     wfx = w[0] * fx[0] + w[1] * fx[1] + w[2] * fx[2]
     wfy = w[0] * fy[0] + w[1] * fy[1] + w[2] * fy[2]
 
-    # along-edge coordinate for each edge (k, k+1)
+    # along-edge coordinate for each edge (k, k+1).  den is PER-FACE
+    # (sym9 components are per-face), so divide once per face and
+    # multiply per pair — VPU divides are ~10x a multiply.
     t0 = []
     for k in range(3):
         k1 = (k + 1) % 3
         a = [sym9[3 * k + j] - sym9[3 * k1 + j] for j in range(3)]
         num = w[0] * a[0] + w[1] * a[1] + w[2] * a[2] - a[k1]
         den = a[k] - a[k1]
-        t0.append(_safe_div(num, den))
+        t0.append(num * _safe_div(1.0, den))
 
     # ---- inside: argmin over the 3 unclamped edge projections -------------
     dxs, dys, ds = [], [], []
@@ -100,6 +106,12 @@ def _euclid_kernel(w, fx, fy, sym9, obt, xp, yp):
     kmin = jnp.where(ds[1] < ds[0],
                      jnp.where(ds[2] < ds[1], 2, 1),
                      jnp.where(ds[2] < ds[0], 2, 0))
+
+    if ABLATE == 'euclid_min':
+        # TIMING ABLATION: skip casework/selection; wrong results
+        sgn = jnp.where(inside, 1.0, -1.0)
+        tt = (t0[0], t0[1], t0[2]) if with_t else None
+        return sgn, dxs[0], dys[0], tt
 
     # ---- outside: corner-region casework for edge choice ------------------
     w0n, w1n, w2n = (w[0] <= 0), (w[1] <= 0), (w[2] <= 0)
@@ -139,22 +151,29 @@ def _euclid_kernel(w, fx, fy, sym9, obt, xp, yp):
     dis_y = tau0 * fyk + tau1 * fyk1 - wfy
 
     # offsets t = tau - w with tau's nonzeros at components ksel, ksel+1
-    t = tuple(jnp.where(ksel == c, tau0,
-                        jnp.where(ksel == (c + 2) % 3, tau1, 0.0)) - w[c]
-              for c in range(3))
+    t = None
+    if with_t:
+        t = tuple(jnp.where(ksel == c, tau0,
+                            jnp.where(ksel == (c + 2) % 3, tau1, 0.0)) - w[c]
+                  for c in range(3))
 
     sign = jnp.where(inside, 1.0, -1.0)
     return sign, dis_x, dis_y, t
 
 
 def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams,
-                       layout='f_px'):
+                       layout='f_px', for_grad=True, need_inside=True):
     """Forward per-pair quantities; face/inv/sym/obt: [FB, C] blocks.
 
     layout 'f_px': pair arrays [FB, th, tw] (faces on sublanes, pixel
     columns on lanes); layout 'px_f': pair arrays [ph, pw, FB] (pixels on
     sublanes, FACES on lanes -- the lane-efficient layout for small
-    faces, since a face's bbox rarely spans a 128-pixel-wide tile)."""
+    faces, since a face's bbox rarely spans a 128-pixel-wide tile).
+
+    for_grad=False skips the edge-offset tuple ``t`` (only the backward
+    distance chains read it); need_inside=False skips the non-strict
+    inside test (only the hard-rgb winner path reads it).  Each saves
+    ~10-15 full [pair] VPU passes in the instruction-bound kernel."""
     if layout == 'f_px':
         # face/inv/sym/obt: [FB, C]; pair arrays [FB, th, tw]
         def comp(a, i):
@@ -201,7 +220,8 @@ def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams,
     else:
         sym9 = [comp(sym, j) for j in range(9)]
         obt3 = [comp(obt, j) for j in range(3)]
-        sign, dis_x, dis_y, t = _euclid_kernel(w, fx, fy, sym9, obt3, xpb, ypb)
+        sign, dis_x, dis_y, t = _euclid_kernel(w, fx, fy, sym9, obt3,
+                                               xpb, ypb, with_t=for_grad)
         dis = dis_x * dis_x + dis_y * dis_y
         dist_valid = ~((sign < 0) & (dis >= thr))
         sf = jax.nn.sigmoid(sign * dis / p.sigma_val)
@@ -220,8 +240,10 @@ def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams,
     z_valid = (zp >= p.near) & (zp <= p.far)
     tk_valid = alpha_valid & z_valid
 
-    inside_w = ((w[0] >= 0) & (w[0] <= 1) & (w[1] >= 0) & (w[1] <= 1) &
-                (w[2] >= 0) & (w[2] <= 1))
+    inside_w = None
+    if need_inside:
+        inside_w = ((w[0] >= 0) & (w[0] <= 1) & (w[1] >= 0) & (w[1] <= 1) &
+                    (w[2] >= 0) & (w[2] <= 1))
 
     return dict(w=w, wc=wc, sf=sf, zp=zp, alpha_valid=alpha_valid,
                 not_border=not_border,
@@ -800,6 +822,13 @@ def soft_rasterize_fwd_pallas(face_vertices, textures, p: SoftRasParams):
 PF_TILE = int(os.environ.get('JR_PF_TILE', '32'))  # preferred pixel tile edge
 PF_FB = 128          # faces per chunk == lane count
 
+# MXU precision for the px_f contractions (experiment knob):
+# parity tests pass at 'high' (bf16x3 ~ f32 accuracy); 'highest' is bf16x6.
+_PRECISIONS = {'default': jax.lax.Precision.DEFAULT,
+               'high': jax.lax.Precision.HIGH,
+               'highest': jax.lax.Precision.HIGHEST}
+PF_PRECISION = _PRECISIONS[os.environ.get('JR_PRECISION', 'highest')]
+
 
 def _bin_mt_for(F: int) -> int:
     """Max (tile,face) pairs emitted per face for the compact binner.
@@ -872,7 +901,7 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
     T2 = ph * pw
     FB = PF_FB
     K = p.max_faces_id
-    HIP = jax.lax.Precision.HIGHEST
+    HIP = PF_PRECISION
     if with_thr:
         tlo, thi, titers = _thr_bisect_bounds(p.near, p.far)
 
@@ -880,6 +909,14 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
         # contract lanes of both: [M, FB] x [N, FB] -> [M, N]
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                    precision=HIP,
+                                   preferred_element_type=jnp.float32)
+
+    def dot11_cnt(a, b):
+        # counting contraction: inputs are exactly-representable small
+        # integers / 0-1 masks, so the single-pass bf16 MXU mode is EXACT
+        # (bf16 holds integers <= 256; accumulation is f32)
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   precision=jax.lax.Precision.DEFAULT,
                                    preferred_element_type=jnp.float32)
 
     def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s,
@@ -896,6 +933,9 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
         @pl.when(first_s[i] == 1)
         def _init():
             # (concatenate, not .at[]: Pallas TPU cannot lower scatter)
+            # acc_ns is CHANNEL-major [4, T2]: the texel-sweep matmuls must
+            # produce [4, T2] (lane-wide outputs run ~0.5us/dot faster on
+            # the MXU than [T2, 4] ones, measured)
             acc_ns[:] = jnp.concatenate(
                 [jnp.full((1, T2), bg[0], jnp.float32),
                  jnp.full((1, T2), bg[1], jnp.float32),
@@ -931,7 +971,8 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
             ids = ids_ref[0]                       # [1, FB]
 
             terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p,
-                                       layout='px_f')
+                                       layout='px_f', for_grad=False,
+                                       need_inside=(p.rgb_func_id == 0))
 
             def fl(a):
                 return a.reshape(T2, FB) if a is not None else None
@@ -945,7 +986,8 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
 
             # per-pixel candidate count (reference q_size)
             cand = tk_valid & (ids_row >= 0)
-            acc_cnt[:] = acc_cnt[:] + dot11(cand.astype(jnp.float32), ones_row)
+            acc_cnt[:] = acc_cnt[:] + dot11_cnt(cand.astype(jnp.float32),
+                                                ones_row)
 
             if with_thr:
                 zk_int = jnp.where(
@@ -1028,9 +1070,9 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
 
         @pl.when(last_s[i] == 1)
         def _fin():
-            def row(col):
-                return jnp.swapaxes(col, 0, 1)                     # [1,T2]
-
+            # out block is [1, 1, T2, FWD_C]: pixels on sublanes, channels
+            # on lanes — every accumulator writes as a column, transposes
+            # happen once in XLA after the kernel (free in a fusion)
             if p.alpha_func_id == 0:
                 alpha = acc_alpha[:]
             elif p.alpha_func_id == 1:
@@ -1038,53 +1080,62 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
             else:
                 alpha = 1.0 - acc_alpha[:]
             if p.rgb_func_id == 1:
-                ssum = acc_ns[3:4, :]
-                for k in range(3):
-                    out_ref[0, 0, k:k + 1, :] = acc_ns[k:k + 1, :] / ssum
-                out_ref[0, 0, 4:5, :] = ssum
-                out_ref[0, 0, 5:6, :] = row(acc_max[:])
+                accT = jnp.swapaxes(acc_ns[:], 0, 1)               # [T2,4]
+                ssum = accT[:, 3:4]
+                out_ref[0, 0, :, 0:3] = accT[:, 0:3] / ssum
+                out_ref[0, 0, :, 4:5] = ssum
+                out_ref[0, 0, :, 5:6] = acc_max[:]
             elif p.rgb_func_id == 0:
-                for k in range(3):
-                    out_ref[0, 0, k:k + 1, :] = row(acc_hard[:, k:k + 1])
-                out_ref[0, 0, 4:5, :] = row(acc_hard[:, 3:4])
-                out_ref[0, 0, 5:6, :] = row(acc_hard[:, 4:5])
+                out_ref[0, 0, :, 0:3] = acc_hard[:, 0:3]
+                out_ref[0, 0, :, 4:5] = acc_hard[:, 3:4]
+                out_ref[0, 0, :, 5:6] = acc_hard[:, 4:5]
             else:
-                for k in range(3):
-                    out_ref[0, 0, k:k + 1, :] = jnp.full((1, T2), bg[k],
-                                                      jnp.float32)
-                out_ref[0, 0, 4:5, :] = jnp.zeros((1, T2), jnp.float32)
-                out_ref[0, 0, 5:6, :] = jnp.zeros((1, T2), jnp.float32)
-            out_ref[0, 0, 3:4, :] = row(alpha)
-            out_ref[0, 0, 6:7, :] = row(acc_cnt[:])
+                out_ref[0, 0, :, 0:3] = jnp.concatenate(
+                    [jnp.full((T2, 1), bg[k], jnp.float32) for k in range(3)],
+                    axis=1)
+                out_ref[0, 0, :, 4:6] = jnp.zeros((T2, 2), jnp.float32)
+            out_ref[0, 0, :, 3:4] = alpha
+            out_ref[0, 0, :, 6:7] = acc_cnt[:]
 
             if with_thr:
                 # exact K-th smallest candidate depth by integer bisection
                 # with MXU-counted ranks; when a pixel has < K candidates
-                # hi stays at bits(far), which passes every valid face
+                # hi stays at bits(far), which passes every valid face.
+                # Tiles where NO pixel exceeds K candidates skip the whole
+                # bisection: thr = far passes every valid face (z_valid
+                # already enforces zp <= far).
                 ones_row = jnp.ones((1, FB), jnp.float32)
                 nch = ch_s[i] + 1
                 kf = jnp.float32(K)
+                need = jnp.max(acc_cnt[:]) > kf
 
-                def outer(_, lh):
-                    lo, hi = lh
-                    mid = lo + ((hi - lo) >> 1)                    # [T2,1]
+                @pl.when(need)
+                def _bisect():
+                    def outer(_, lh):
+                        lo, hi = lh
+                        mid = lo + ((hi - lo) >> 1)                # [T2,1]
 
-                    def inner(c, acc):
-                        m = (slab[c] <= mid).astype(jnp.float32)
-                        return acc + dot11(m, ones_row)
-                    cnt = jax.lax.fori_loop(
-                        0, nch, inner, jnp.zeros((T2, 1), jnp.float32))
-                    ge = cnt >= kf
-                    return (jnp.where(ge, lo, mid + 1),
-                            jnp.where(ge, mid, hi))
+                        def inner(c, acc):
+                            m = (slab[c] <= mid).astype(jnp.float32)
+                            return acc + dot11_cnt(m, ones_row)
+                        cnt = jax.lax.fori_loop(
+                            0, nch, inner, jnp.zeros((T2, 1), jnp.float32))
+                        ge = cnt >= kf
+                        return (jnp.where(ge, lo, mid + 1),
+                                jnp.where(ge, mid, hi))
 
-                lo0 = jnp.full((T2, 1), tlo, jnp.int32)
-                hi0 = jnp.full((T2, 1), thi, jnp.int32)
-                _, hi = jax.lax.fori_loop(0, titers, outer, (lo0, hi0))
-                thr = jax.lax.bitcast_convert_type(hi, jnp.float32)
-                out_ref[0, 0, 7:8, :] = row(thr)
+                    lo0 = jnp.full((T2, 1), tlo, jnp.int32)
+                    hi0 = jnp.full((T2, 1), thi, jnp.int32)
+                    _, hi = jax.lax.fori_loop(0, titers, outer, (lo0, hi0))
+                    thr = jax.lax.bitcast_convert_type(hi, jnp.float32)
+                    out_ref[0, 0, :, 7:8] = thr
+
+                @pl.when(jnp.logical_not(need))
+                def _nothr():
+                    out_ref[0, 0, :, 7:8] = jnp.full((T2, 1), p.far,
+                                                     jnp.float32)
             else:
-                out_ref[0, 0, 7:8, :] = jnp.zeros((1, T2), jnp.float32)
+                out_ref[0, 0, :, 7:8] = jnp.zeros((T2, 1), jnp.float32)
 
     return kernel
 
@@ -1105,11 +1156,12 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
     ph = pw = _pf_tile_for(is_)
     T2 = ph * pw
     FB = PF_FB
-    HIP = jax.lax.Precision.HIGHEST
+    HIP = PF_PRECISION
 
-    def dot_px(a_rows, x):
-        # contract pixels: [M, T2] x [T2, FB] -> [M, FB]
-        return jax.lax.dot_general(a_rows, x, (((1,), (0,)), ((), ())),
+    def dot_px(a_cols, x):
+        # contract pixels (sublanes of BOTH): [T2, M] x [T2, FB] -> [M, FB]
+        # — the columnar form needs no cross-lane transpose of a_cols
+        return jax.lax.dot_general(a_cols, x, (((0,), (0,)), ((), ())),
                                    precision=HIP,
                                    preferred_element_type=jnp.float32)
 
@@ -1141,13 +1193,13 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
             obt = obt_ref[0]
             tex = tex_ref[0]                        # [T*3, FB]
             ids = ids_ref[0]                        # [1, FB]
-            px = px_ref[0, 0]                       # [BWD_PC, T2]
+            px = px_ref[0, 0]                       # [T2, BWD_PC]
 
             def col(j):
-                return jnp.swapaxes(px[j:j + 1, :], 0, 1)          # [T2,1]
+                return px[:, j:j + 1]                              # [T2,1]
 
             terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p,
-                                       layout='px_f')
+                                       layout='px_f', need_inside=False)
 
             def fl(a):
                 return a.reshape(T2, FB)
@@ -1157,7 +1209,7 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
             wc = [fl(c) for c in terms['wc']]
             w = [fl(c) for c in terms['w']]
             ids_row = ids[0:1, :]
-            ones_t2 = jnp.ones((1, T2), jnp.float32)
+            ones_col = jnp.ones((T2, 1), jnp.float32)
 
             sf = jnp.ones_like(sf_fwd) if p.dist_func_id == 0 else sf_fwd
             valid = (ids_row >= 0) & fl(terms['tk_valid'])
@@ -1168,7 +1220,7 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                 valid = valid & (zp <= col(10))
             vf = valid.astype(jnp.float32)
 
-            g3 = jnp.swapaxes(px[6:9, :], 0, 1)                    # [T2,3]
+            g3 = px[:, 6:9]                                        # [T2,3]
             g_alpha = col(9)
             out_alpha = col(3)
 
@@ -1195,9 +1247,14 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                     R = int(math.sqrt(T))
                     idx = _surface_tex_idx(wc, R)
                     S = jnp.zeros_like(sf)
+                    # fused texel sweep: one (idx == ti) mask feeds BOTH the
+                    # S outer-product and this texel's gradient contraction
                     for ti in range(T):
+                        m_ti = idx == ti
                         P_ti = dot_k(g3, tex[ti * 3:ti * 3 + 3, :])
-                        S = S + jnp.where(idx == ti, P_ti, 0.0)
+                        S = S + jnp.where(m_ti, P_ti, 0.0)
+                        w_ti = jnp.where(m_ti, zp_softmax, 0.0)
+                        gtex_ref[0, ti * 3:ti * 3 + 3, :] = dot_px(g3, w_ti)
                 else:
                     S = jnp.zeros_like(sf)
                     for c in range(3):
@@ -1211,7 +1268,7 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                 invz = [v.reshape(1, FB) for v in terms['invz']]
                 for k in range(3):
                     gz[k] = C_grad_z * wc[k] * (invz[k] * invz[k])
-                tex_coef = zp_softmax
+                tex_coef = None if p.texture_type_id == 0 else zp_softmax
             elif p.rgb_func_id == 0:
                 fidx_min = col(5)
                 is_win = vf * (jnp.abs(ids_row.astype(jnp.float32) - fidx_min)
@@ -1220,18 +1277,19 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
             else:
                 tex_coef = jnp.zeros_like(sf)
 
-            if p.texture_type_id == 0:
-                R = int(math.sqrt(T))
-                idx = _surface_tex_idx(wc, R)
-                for ti in range(T):
-                    w_ti = jnp.where(idx == ti, tex_coef, 0.0)
-                    gtex_ref[0, ti * 3:ti * 3 + 3, :] = dot_px(
-                        jnp.swapaxes(g3, 0, 1), w_ti)              # [3,FB]
-            else:
-                for ci in range(3):
-                    w_ci = tex_coef * wc[ci]
-                    gtex_ref[0, ci * 3:ci * 3 + 3, :] = dot_px(
-                        jnp.swapaxes(g3, 0, 1), w_ci)
+            # texture gradients (surface softmax already emitted them in the
+            # fused sweep above: tex_coef is None then)
+            if tex_coef is not None:
+                if p.texture_type_id == 0:
+                    R = int(math.sqrt(T))
+                    idx = _surface_tex_idx(wc, R)
+                    for ti in range(T):
+                        w_ti = jnp.where(idx == ti, tex_coef, 0.0)
+                        gtex_ref[0, ti * 3:ti * 3 + 3, :] = dot_px(g3, w_ti)
+                else:
+                    for ci in range(3):
+                        w_ci = tex_coef * wc[ci]
+                        gtex_ref[0, ci * 3:ci * 3 + 3, :] = dot_px(g3, w_ci)
 
             C_grad_xy = C_grad_xy * sf * (1.0 - sf) / p.sigma_val
             C_grad_xy = C_grad_xy * vf
@@ -1275,9 +1333,9 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
             for k in range(3):
                 gzk = jnp.where(valid, gz[k], 0.0) if gz[k] is not None \
                     else jnp.zeros_like(sf)
-                gface_ref[0, 3 * k:3 * k + 1, :] = dot_px(ones_t2, gx[k])
-                gface_ref[0, 3 * k + 1:3 * k + 2, :] = dot_px(ones_t2, gy[k])
-                gface_ref[0, 3 * k + 2:3 * k + 3, :] = dot_px(ones_t2, gzk)
+                gface_ref[0, 3 * k:3 * k + 1, :] = dot_px(ones_col, gx[k])
+                gface_ref[0, 3 * k + 1:3 * k + 2, :] = dot_px(ones_col, gy[k])
+                gface_ref[0, 3 * k + 2:3 * k + 3, :] = dot_px(ones_col, gzk)
 
     return kernel
 
@@ -1385,6 +1443,36 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap,
             scalars, lists, covered, T)
 
 
+def _pf_caps(F: int, image_size: int, ty_band: int | None):
+    """Static (tile_edge, cap, w_cap) shared by prep/fwd/bwd."""
+    t = _pf_tile_for(image_size)
+    TY = TX = image_size // t
+    TYB = ty_band if ty_band is not None else TY
+    cap = max(PF_FB, min(F, 2048))
+    cap = (cap + PF_FB - 1) // PF_FB * PF_FB
+    return t, cap, _work_cap_pf(F, TYB * TX, B=1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 4))
+def prep_pf(face_vertices, textures, p: SoftRasParams, ty0=None,
+            ty_band: int | None = None):
+    """Shared work-list prep for the px_f forward AND backward.
+
+    The custom_vjp (api._core_fwd) saves this as a residual so the
+    binning sort + face-data gather run ONCE per fwd+bwd frame instead
+    of twice.  Returns (ids, g_face, g_inv, g_sym, g_obt, g_front,
+    g_tex, scalars, covered) — all arrays, jit-boundary safe."""
+    B, F = face_vertices.shape[:2]
+    t, cap, w_cap_1 = _pf_caps(F, p.image_size, ty_band)
+    TY = TX = p.image_size // t
+    TYB = ty_band if ty_band is not None else TY
+    band = None if ty0 is None else (ty0, TYB)
+    w_cap = _work_cap_pf(F, TYB * TX, B)
+    out = _prep_work_data_pf(face_vertices, textures, p, cap, w_cap, band)
+    # drop `lists` (internal) and T (static; recomputed from shapes)
+    return out[:8] + (out[9],)
+
+
 def _work_cap_pf(F: int, n_tiles: int, B: int) -> int:
     """Static bound on total px_f work items.
 
@@ -1413,7 +1501,7 @@ def _scal7_spec(c, FB):
 @functools.partial(jax.jit, static_argnums=(2, 3, 5))
 def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
                                  with_thr: bool = False, ty0=None,
-                                 ty_band: int | None = None):
+                                 ty_band: int | None = None, prep=None):
     """Returns (out [B,4,H,W], aggrs [B,2,H,W], aux [B,2,H,W]).
 
     aux[:, 0] is the per-pixel candidate count (reference q_size);
@@ -1430,14 +1518,15 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
     TY = TX = is_ // t
     T2 = t * t
     TYB = ty_band if ty_band is not None else TY
-    band = None if ty0 is None else (ty0, TYB)
     cap = max(PF_FB, min(F, 2048))
     cap = (cap + PF_FB - 1) // PF_FB * PF_FB
     w_cap = _work_cap_pf(F, TYB * TX, B)
 
+    if prep is None:
+        prep = prep_pf(face_vertices, textures, p, ty0, ty_band)
     (ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
-     scalars, lists, covered, T) = \
-        _prep_work_data_pf(face_vertices, textures, p, cap, w_cap, band)
+     scalars, covered) = prep
+    T = textures.shape[2] if p.texture_type_id == 0 else 3
 
     FB = PF_FB
     n_ch = cap // FB
@@ -1445,7 +1534,7 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
 
     NT = TYB * TX
     out_spec = pl.BlockSpec(
-        (1, 1, FWD_C, T2),
+        (1, 1, T2, FWD_C),
         lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s:
         (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
         memory_space=pltpu.VMEM)
@@ -1472,13 +1561,13 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
     (rows_t,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, NT, FWD_C, T2), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((B, NT, T2, FWD_C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=not _is_tpu(),
     )(*scalars, ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex)
 
-    full = rows_t.reshape(B, TYB, TX, FWD_C, t, t) \
-        .transpose(0, 3, 1, 4, 2, 5).reshape(B, FWD_C, TYB * t, is_)
+    full = rows_t.reshape(B, TYB, TX, t, t, FWD_C) \
+        .transpose(0, 5, 1, 3, 2, 4).reshape(B, FWD_C, TYB * t, is_)
     out = full[:, 0:4]
     aggrs = full[:, 4:6]
     # uncovered tiles were never visited -> fill with the empty-pixel values
@@ -1505,7 +1594,7 @@ BWD_PC = 11   # out r/g/b/a | softmax sum/max | grad r/g/b/a | thr
 def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
                                  aggrs_info, aux, grad_soft_colors,
                                  p: SoftRasParams, ty0=None,
-                                 ty_band: int | None = None):
+                                 ty_band: int | None = None, prep=None):
     """aux is the forward's [B,2,H,W] (candidate count, top-K threshold).
 
     ty0/ty_band: optional pixel-band restriction — the pixel maps are
@@ -1522,9 +1611,11 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
     cap = (cap + PF_FB - 1) // PF_FB * PF_FB
     w_cap = _work_cap_pf(F, TYB * TX, B)
 
+    if prep is None:
+        prep = prep_pf(face_vertices, textures, p, ty0, ty_band)
     (ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex,
-     scalars, lists, covered, T) = \
-        _prep_work_data_pf(face_vertices, textures, p, cap, w_cap, band)
+     scalars, covered) = prep
+    T = textures.shape[2] if p.texture_type_id == 0 else 3
     out_b, active = scalars[0], scalars[6]
 
     FB = PF_FB
@@ -1535,13 +1626,14 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
 
     NT = TYB * TX
 
-    # one [BWD_PC, t*t] row matrix per tile (see kernel channel map)
+    # one [t*t, BWD_PC] pixel-major matrix per tile (see kernel channel
+    # map) — pixels on sublanes so the kernel reads columns, no transposes
     px = jnp.concatenate([soft_colors, aggrs_info, grad_soft_colors,
                           aux[:, 1:2]], axis=1)
-    px = px.reshape(B, BWD_PC, TYB, t, TX, t).transpose(0, 2, 4, 1, 3, 5) \
-        .reshape(B, NT, BWD_PC, T2)
+    px = px.reshape(B, BWD_PC, TYB, t, TX, t).transpose(0, 2, 4, 3, 5, 1) \
+        .reshape(B, NT, T2, BWD_PC)
     px_spec = pl.BlockSpec(
-        (1, 1, BWD_PC, T2),
+        (1, 1, T2, BWD_PC),
         lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s:
         (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
         memory_space=pltpu.VMEM)
