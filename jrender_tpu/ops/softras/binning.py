@@ -87,13 +87,21 @@ class CompactLists(NamedTuple):
     [n_tiles, cap] table — an XLA TPU scatter that serialized into ~90 ms
     at 39k faces and dominated the whole rasterizer.  The compact form
     keeps the sorted pair array and per-tile offsets; work-item face ids
-    are then one small [W, FB] gather (gather_work_ids)."""
+    are then one small [W, FB] gather (gather_work_ids).
+
+    Faces spanning more than ``mt`` tiles go to ``glist`` and are
+    distributed EXACTLY to the tiles their inflated bbox overlaps via
+    ``gt_cum`` (round-2 prepended them to every tile, which put a full
+    128-lane work chunk on all NT tiles whenever one face was big —
+    ~40% of all kernel work on the 39k bench mesh)."""
     faces_sorted: jnp.ndarray   # [B, F*MT] i32 face ids sorted by tile
     starts: jnp.ndarray         # [B, NT] i32 offset of each tile's run
     counts: jnp.ndarray         # [B, NT] i32 true per-tile counts (pre-cap)
-    glist: jnp.ndarray          # [B, GBIG] i32 huge-face list (every tile)
+    glist: jnp.ndarray          # [B, GBIG] i32 huge-face list
     gcount: jnp.ndarray         # [B] i32 number of valid glist entries
     gdrop: jnp.ndarray          # [B] i32 big faces DROPPED past the glist cap
+    gt_cum: jnp.ndarray         # [B, NT, GBIG] i32 cumulative (over g) count
+    #                             of glist faces overlapping each tile
 
 
 CL_MT = 16     # bands/tiles a face may span before it goes global
@@ -191,17 +199,41 @@ def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
         ends = jnp.searchsorted(
             tiles_s, jnp.arange(1, n_tiles + 1, dtype=jnp.int32),
             side='left').astype(jnp.int32)
-        return (faces_s, starts, ends - starts + gcount, glist, gcount,
+        return (faces_s, starts, ends - starts, glist, gcount,
                 gtrue - gcount)
 
-    fs, st, cn, gl, gc, gd = jax.vmap(one)(pair_tile, pair_face, big)
-    return CompactLists(faces_sorted=fs, starts=st, counts=cn,
-                        glist=gl, gcount=gc, gdrop=gd)
+    fs, st, run_cn, gl, gc, gd = jax.vmap(one)(pair_tile, pair_face, big)
+
+    # exact per-tile distribution of the glist: overlap each big face's
+    # inflated-bbox tile range against the tile grid (cheap: GBIG x NT
+    # bool), cumsum over the g axis so gather_work_ids can rank-select
+    gsafe = jnp.maximum(gl, 0)                                    # [B, GBIG]
+
+    def grng(a):
+        return jnp.take_along_axis(a, gsafe, axis=1)
+
+    gty0, gty1 = grng(ty_min), grng(ty_max)
+    gtx0, gtx1 = grng(tx_min), grng(tx_max)
+    gvalid = gl >= 0
+    tys = jnp.arange(TY, dtype=jnp.int32)
+    txs = jnp.arange(TX, dtype=jnp.int32)
+    oy = ((tys[None, None, :] >= gty0[..., None]) &
+          (tys[None, None, :] <= gty1[..., None]))                # [B,G,TY]
+    ox = ((txs[None, None, :] >= gtx0[..., None]) &
+          (txs[None, None, :] <= gtx1[..., None]))                # [B,G,TX]
+    M = (oy[..., :, None] & ox[..., None, :]) & gvalid[..., None, None]
+    M = M.reshape(B, CL_GBIG, TY * TX)
+    gt_cum = jnp.cumsum(M.astype(jnp.int32), axis=1)              # over g
+    counts = run_cn + gt_cum[:, -1, :]
+    return CompactLists(faces_sorted=fs, starts=st, counts=counts,
+                        glist=gl, gcount=gc, gdrop=gd,
+                        gt_cum=jnp.swapaxes(gt_cum, 1, 2))
 
 
 def gather_work_ids(cl: CompactLists, tile, chunk, fb: int, cap: int):
     """Face ids for work items: ids[w, j] = j-th face of tile[w]'s list
-    (glist head + sorted run), -1 beyond the (capped) count.
+    (this tile's overlapping glist faces first, then the sorted run),
+    -1 beyond the (capped) count.
 
     tile: [W] flat b*NT + t indices; chunk: [W] chunk-within-tile.
     One [W, fb] gather — replaces the dense [NT, cap] table."""
@@ -210,12 +242,19 @@ def gather_work_ids(cl: CompactLists, tile, chunk, fb: int, cap: int):
     b = tile // NT
     tloc = tile - b * NT
     idx = chunk[:, None] * fb + jnp.arange(fb, dtype=jnp.int32)[None, :]
-    gcount_w = cl.gcount[b][:, None]
+    cum_t = cl.gt_cum.reshape(B * NT, CL_GBIG)[tile]              # [W, G]
+    gcnt_w = cum_t[:, -1:]                                        # [W, 1]
     counts_w = jnp.minimum(cl.counts[b, tloc], cap)[:, None]
-    in_g = idx < gcount_w
+    in_g = idx < gcnt_w
+    # rank-select: the j-th glist face overlapping this tile is the first
+    # g with cum_t[g] == j+1, i.e. pos = #{g: cum_t[g] < j+1}.  The fused
+    # broadcast compare-sum vectorizes on TPU (a vmapped searchsorted
+    # lowers to an XLA while loop that cost ~20 ms/frame here).
+    pos = jnp.sum((cum_t[:, :, None] <= idx[:, None, :]).astype(jnp.int32),
+                  axis=1)
     gval = cl.glist.reshape(-1)[
-        b[:, None] * CL_GBIG + jnp.clip(idx, 0, CL_GBIG - 1)]
-    ssrc = cl.starts[b, tloc][:, None] + idx - gcount_w
+        b[:, None] * CL_GBIG + jnp.clip(pos, 0, CL_GBIG - 1)]
+    ssrc = cl.starts[b, tloc][:, None] + idx - gcnt_w
     sval = cl.faces_sorted.reshape(-1)[
         b[:, None] * P + jnp.clip(ssrc, 0, P - 1)]
     ids = jnp.where(in_g, gval, sval)

@@ -101,9 +101,11 @@ def _sample_colors(tex, w_clip, face, zp, p: SoftRasParams, perspective: bool):
     zs = face[..., 2::3]                                          # [1,F,3]
     if perspective:
         wz = w_clip / zs
-        col = jnp.einsum('pfk,fkc->pfc', wz, tex)
+        col = jnp.einsum('pfk,fkc->pfc', wz, tex,
+                         precision=jax.lax.Precision.HIGHEST)
         return col * zp[..., None]
-    return jnp.einsum('pfk,fkc->pfc', w_clip, tex)
+    return jnp.einsum('pfk,fkc->pfc', w_clip, tex,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _tex_res(tex):
@@ -151,7 +153,8 @@ def forward_single(face, tex, p: SoftRasParams, xp, yp):
         softmax_sum = exp_bg + jnp.sum(expz * sf, axis=1)
         colors = _sample_colors(tex, w_clip, face[None], zp, p, perspective=True)
         coef = expz * sf                                          # [P,F]
-        num = exp_bg[:, None] * bg[None, :] + jnp.einsum('pf,pfc->pc', coef, colors)
+        num = exp_bg[:, None] * bg[None, :] + jnp.einsum(
+        'pf,pfc->pc', coef, colors, precision=jax.lax.Precision.HIGHEST)
         rgb = num / softmax_sum[:, None]
         aggrs = jnp.stack([softmax_sum, M], axis=1)
     elif p.rgb_func_id == 0:  # hard z-buffer (:390-397, 436-442)
@@ -258,9 +261,12 @@ def backward_single(face, tex, soft_colors, aggrs, faces_id, grad_out,
             colors_nc = tex[fid_safe, idx]                          # [P,K,3]
         else:
             f_tex = tex[fid_safe]                                   # [P,K,3,3]
-            colors_nc = jnp.einsum('pkv,pkvc->pkc', wc, f_tex)
+            colors_nc = jnp.einsum('pkv,pkvc->pkc', wc, f_tex,
+                                   precision=jax.lax.Precision.HIGHEST)
 
-        C_grad_xyz_rgb = jnp.einsum('pc,pkc->pk', g_rgb, colors_nc - soft_colors[:, None, :3])
+        C_grad_xyz_rgb = jnp.einsum(
+            'pc,pkc->pk', g_rgb, colors_nc - soft_colors[:, None, :3],
+            precision=jax.lax.Precision.HIGHEST)
         C_grad_xyz_rgb = C_grad_xyz_rgb * zp_softmax
         C_grad_xy = C_grad_xy + C_grad_xyz_rgb / jnp.maximum(sf, 1e-30)
 

@@ -902,14 +902,6 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
     FB = PF_FB
     K = p.max_faces_id
     HIP = PF_PRECISION
-    if with_thr:
-        tlo, thi, titers = _thr_bisect_bounds(p.near, p.far)
-
-    def dot11(a, b):
-        # contract lanes of both: [M, FB] x [N, FB] -> [M, N]
-        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                   precision=HIP,
-                                   preferred_element_type=jnp.float32)
 
     def dot11_cnt(a, b):
         # counting contraction: inputs are exactly-representable small
@@ -919,12 +911,12 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                                    precision=jax.lax.Precision.DEFAULT,
                                    preferred_element_type=jnp.float32)
 
-    def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s,
+    def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s, lim_s,
                ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref,
                tex_ref, out_ref, *scratch):
         if with_thr:
-            slab = scratch[-1]
-            scratch = scratch[:-1]
+            acc_blo, acc_bhi, slab = scratch[-3:]
+            scratch = scratch[:-3]
         acc_ns, acc_max, acc_alpha, acc_cnt, acc_hard = scratch
         i = pl.program_id(0)
         ty = ty_s[i]
@@ -933,14 +925,14 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
         @pl.when(first_s[i] == 1)
         def _init():
             # (concatenate, not .at[]: Pallas TPU cannot lower scatter)
-            # acc_ns is CHANNEL-major [4, T2]: the texel-sweep matmuls must
-            # produce [4, T2] (lane-wide outputs run ~0.5us/dot faster on
-            # the MXU than [T2, 4] ones, measured)
+            # acc_ns is PIXEL-major [T2, 4] (r,g,b,softmax-denominator):
+            # color accumulation is pure-VPU lane reductions (exact f32;
+            # round 2's per-texel MXU dots at HIGHEST cost ~10 ms/frame)
             acc_ns[:] = jnp.concatenate(
-                [jnp.full((1, T2), bg[0], jnp.float32),
-                 jnp.full((1, T2), bg[1], jnp.float32),
-                 jnp.full((1, T2), bg[2], jnp.float32),
-                 jnp.ones((1, T2), jnp.float32)], axis=0)
+                [jnp.full((T2, 1), bg[0], jnp.float32),
+                 jnp.full((T2, 1), bg[1], jnp.float32),
+                 jnp.full((T2, 1), bg[2], jnp.float32),
+                 jnp.ones((T2, 1), jnp.float32)], axis=1)
             acc_max[:] = jnp.full((T2, 1), p.eps, jnp.float32)
             if p.alpha_func_id == 2:
                 acc_alpha[:] = jnp.ones((T2, 1), jnp.float32)
@@ -952,6 +944,9 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                  jnp.full((T2, 1), BIG_DEPTH, jnp.float32),
                  jnp.full((T2, 1), -1.0, jnp.float32),
                  jnp.zeros((T2, 3), jnp.float32)], axis=1)
+            if with_thr:
+                acc_blo[:] = jnp.full((T2, 1), THR_INT_MAX, jnp.int32)
+                acc_bhi[:] = jnp.zeros((T2, 1), jnp.int32)
 
         @pl.when(act_s[i] == 1)
         def _merge():
@@ -986,14 +981,23 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
 
             # per-pixel candidate count (reference q_size)
             cand = tk_valid & (ids_row >= 0)
-            acc_cnt[:] = acc_cnt[:] + dot11_cnt(cand.astype(jnp.float32),
-                                                ones_row)
+            acc_cnt[:] = acc_cnt[:] + jnp.sum(cand.astype(jnp.float32),
+                                              axis=-1, keepdims=True)
 
             if with_thr:
                 zk_int = jnp.where(
                     cand, jax.lax.bitcast_convert_type(zp, jnp.int32),
                     THR_INT_MAX)
                 slab[ch_s[i]] = zk_int
+                # track the per-pixel candidate bit range: the bisection
+                # then starts from [min, max] bits instead of
+                # [bits(near), bits(far)] — typically 1/3 fewer rounds
+                acc_blo[:] = jnp.minimum(
+                    acc_blo[:], jnp.min(zk_int, axis=-1, keepdims=True))
+                acc_bhi[:] = jnp.maximum(
+                    acc_bhi[:],
+                    jnp.max(jnp.where(cand, zk_int, 0), axis=-1,
+                            keepdims=True))
 
             sf_a = jnp.where(alpha_valid, sf, 0.0)
             if p.alpha_func_id == 0:
@@ -1002,7 +1006,8 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                     jnp.max((alpha_valid & (sf > 0.5)).astype(jnp.float32),
                             -1, keepdims=True))
             elif p.alpha_func_id == 1:
-                acc_alpha[:] = acc_alpha[:] + dot11(sf_a, ones_row)
+                acc_alpha[:] = acc_alpha[:] + jnp.sum(sf_a, axis=-1,
+                                                      keepdims=True)
             else:
                 x = 1.0 - sf_a
                 while x.shape[-1] > 1:
@@ -1018,32 +1023,20 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                 zpn_m = jnp.where(rgb_valid, zpn, -jnp.inf)
                 M_blk = jnp.max(zpn_m, axis=-1, keepdims=True)     # [T2,1]
                 M_new = jnp.maximum(acc_max[:], M_blk)
-                resc_row = jnp.swapaxes(
-                    jnp.exp((acc_max[:] - M_new) / p.gamma_val), 0, 1)
+                rescale = jnp.exp((acc_max[:] - M_new) / p.gamma_val)
                 expz = jnp.where(rgb_valid,
                                  jnp.exp((zpn - M_new) / p.gamma_val) * sf,
                                  0.0)
-                delta = jnp.zeros((4, T2), jnp.float32)
-                if p.texture_type_id == 0:
-                    R = int(math.sqrt(T))
-                    wc = [fl(c) for c in terms['wc']]
-                    idx = _surface_tex_idx(wc, R)                  # [T2,FB]
-                    for ti in range(T):
-                        w_ti = jnp.where(idx == ti, expz, 0.0)
-                        rows_ti = jnp.concatenate(
-                            [tex[ti * 3:ti * 3 + 3, :], ones_row], axis=0)
-                        delta = delta + dot11(rows_ti, w_ti)       # [4, T2]
-                else:
-                    invz = [v.reshape(1, FB) for v in terms['invz']]
-                    wc = [fl(c) for c in terms['wc']]
-                    base = expz * zp
-                    d_rgb = jnp.zeros((3, T2), jnp.float32)
-                    for c in range(3):
-                        w_c = base * wc[c] * invz[c]
-                        d_rgb = d_rgb + dot11(tex[3 * c:3 * c + 3, :], w_c)
-                    delta = jnp.concatenate(
-                        [d_rgb, dot11(ones_row, expz)], axis=0)
-                acc_ns[:] = acc_ns[:] * resc_row + delta
+                # per-pair colors on the VPU (select-chain for surface
+                # texels), then pure lane reductions — exact f32, no MXU
+                colors = _pair_colors(tex, terms, p, T, perspective=True,
+                                      layout='px_f')
+                delta = jnp.concatenate(
+                    [jnp.sum(expz * fl(colors[0]), -1, keepdims=True),
+                     jnp.sum(expz * fl(colors[1]), -1, keepdims=True),
+                     jnp.sum(expz * fl(colors[2]), -1, keepdims=True),
+                     jnp.sum(expz, -1, keepdims=True)], axis=1)    # [T2,4]
+                acc_ns[:] = acc_ns[:] * rescale + delta
                 acc_max[:] = M_new
             elif p.rgb_func_id == 0:
                 inside = fl(terms['inside'])
@@ -1080,7 +1073,7 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
             else:
                 alpha = 1.0 - acc_alpha[:]
             if p.rgb_func_id == 1:
-                accT = jnp.swapaxes(acc_ns[:], 0, 1)               # [T2,4]
+                accT = acc_ns[:]                                   # [T2,4]
                 ssum = accT[:, 3:4]
                 out_ref[0, 0, :, 0:3] = accT[:, 0:3] / ssum
                 out_ref[0, 0, :, 4:5] = ssum
@@ -1111,7 +1104,11 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
 
                 @pl.when(need)
                 def _bisect():
-                    def outer(_, lh):
+                    def cond(lh):
+                        lo, hi = lh
+                        return jnp.any(lo < hi)
+
+                    def outer(lh):
                         lo, hi = lh
                         mid = lo + ((hi - lo) >> 1)                # [T2,1]
 
@@ -1124,9 +1121,14 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                         return (jnp.where(ge, lo, mid + 1),
                                 jnp.where(ge, mid, hi))
 
-                    lo0 = jnp.full((T2, 1), tlo, jnp.int32)
-                    hi0 = jnp.full((T2, 1), thi, jnp.int32)
-                    _, hi = jax.lax.fori_loop(0, titers, outer, (lo0, hi0))
+                    # invariant: count(<= lo-1) < K <= count(<= hi);
+                    # the tracked [min, max] candidate bits satisfy it and
+                    # start far narrower than [bits(near), bits(far)].
+                    # min() guards lo <= hi on candidate-free pixels.
+                    _, hi = jax.lax.while_loop(
+                        cond, outer,
+                        (jnp.minimum(acc_blo[:] - 1, acc_bhi[:]),
+                         acc_bhi[:]))
                     thr = jax.lax.bitcast_convert_type(hi, jnp.float32)
                     out_ref[0, 0, :, 7:8] = thr
 
@@ -1171,7 +1173,7 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                                    precision=HIP,
                                    preferred_element_type=jnp.float32)
 
-    def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s,
+    def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s, lim_s,
                ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref,
                tex_ref, px_ref, gface_ref, gtex_ref):
         i = pl.program_id(0)
@@ -1391,7 +1393,11 @@ def _work_gather_pf(lists, counts, cap, w_cap, B, F, NT, TX, arrays):
     out_ty = t_in_b // TX
     out_tx = t_in_b - out_ty * TX
     active = in_range.astype(jnp.int32)
-    scalars = (b_of, out_ty, out_tx, chunk, first, last, active)
+    # `lim` (= num_items) drives a DYNAMIC grid size on TPU: only the
+    # real work items execute, so the generous static w_cap bound costs
+    # nothing at runtime (padding beyond w_cap would drop + report)
+    lim = jnp.maximum(total, 1).reshape(1)
+    scalars = (b_of, out_ty, out_tx, chunk, first, last, active, lim)
     return scalars, ids_w[:, None, :].astype(jnp.int32), gathered, total
 
 
@@ -1427,8 +1433,9 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap,
         lists, counts, cap, w_cap, B, F, NT, TX,
         (face, face_inv, face_sym, face_obt, front, tex))
     if band is not None:
-        b_of, out_ty, out_tx, chunk, first, last, active = scalars
-        scalars = (b_of, out_ty - ty0, out_tx, chunk, first, last, active)
+        b_of, out_ty, out_tx, chunk, first, last, active, lim = scalars
+        scalars = (b_of, out_ty - ty0, out_tx, chunk, first, last, active,
+                   lim)
     report_overflow(counts, cap, total, w_cap,
                     where=f'softras px_f {is_}px')
     # big faces dropped past the glist cap are missing from EVERY tile
@@ -1491,10 +1498,10 @@ def _work_cap_pf(F: int, n_tiles: int, B: int) -> int:
     return max(64, est)
 
 
-def _scal7_spec(c, FB):
+def _scal8_spec(c, FB):
     return pl.BlockSpec(
         (1, c, FB),
-        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s: (i, 0, 0),
+        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s: (i, 0, 0),
         memory_space=pltpu.VMEM)
 
 
@@ -1535,25 +1542,30 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
     NT = TYB * TX
     out_spec = pl.BlockSpec(
         (1, 1, T2, FWD_C),
-        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s:
+        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s:
         (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
         memory_space=pltpu.VMEM)
     scratch = [
-        pltpu.VMEM((4, T2), jnp.float32),       # acc_ns (rgb + softmax sum)
+        pltpu.VMEM((T2, 4), jnp.float32),       # acc_ns (rgb + softmax sum)
         pltpu.VMEM((T2, 1), jnp.float32),       # acc_max
         pltpu.VMEM((T2, 1), jnp.float32),       # acc_alpha
         pltpu.VMEM((T2, 1), jnp.float32),       # acc_cnt
         pltpu.VMEM((T2, 8), jnp.float32),       # acc_hard (rgb, dmin, id)
     ]
     if with_thr:
+        scratch.append(pltpu.VMEM((T2, 1), jnp.int32))   # acc_blo
+        scratch.append(pltpu.VMEM((T2, 1), jnp.int32))   # acc_bhi
         scratch.append(pltpu.VMEM((n_ch, T2, FB), jnp.int32))
 
+    # dynamic grid: execute only the real work items (Mosaic supports
+    # traced grid bounds; the interpreter used on CPU does not)
+    n_steps = (scalars[7][0] if os.environ.get('JR_DYN_GRID', '1') == '1' else w_cap) if _is_tpu() else w_cap
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
-        grid=(w_cap,),
-        in_specs=[_scal7_spec(1, FB), _scal7_spec(9, FB), _scal7_spec(9, FB),
-                  _scal7_spec(9, FB), _scal7_spec(3, FB), _scal7_spec(1, FB),
-                  _scal7_spec(g_tex.shape[-1], FB)],
+        num_scalar_prefetch=8,
+        grid=(n_steps,),
+        in_specs=[_scal8_spec(1, FB), _scal8_spec(9, FB), _scal8_spec(9, FB),
+                  _scal8_spec(9, FB), _scal8_spec(3, FB), _scal8_spec(1, FB),
+                  _scal8_spec(g_tex.shape[-1], FB)],
         out_specs=[out_spec],
         scratch_shapes=scratch,
     )
@@ -1634,17 +1646,17 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
         .reshape(B, NT, T2, BWD_PC)
     px_spec = pl.BlockSpec(
         (1, 1, T2, BWD_PC),
-        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s:
+        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s:
         (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
         memory_space=pltpu.VMEM)
 
     out_specs = [
         pl.BlockSpec((1, 9, FB),
-                     lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s:
+                     lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s:
                      (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T * 3, FB),
-                     lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s:
+                     lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s:
                      (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -1653,12 +1665,13 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
         jax.ShapeDtypeStruct((w_cap, T * 3, FB), jnp.float32),
     ]
 
+    n_steps = (scalars[7][0] if os.environ.get('JR_DYN_GRID', '1') == '1' else w_cap) if _is_tpu() else w_cap
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
-        grid=(w_cap,),
-        in_specs=[_scal7_spec(1, FB), _scal7_spec(9, FB), _scal7_spec(9, FB),
-                  _scal7_spec(9, FB), _scal7_spec(3, FB), _scal7_spec(1, FB),
-                  _scal7_spec(g_tex.shape[-1], FB), px_spec],
+        num_scalar_prefetch=8,
+        grid=(n_steps,),
+        in_specs=[_scal8_spec(1, FB), _scal8_spec(9, FB), _scal8_spec(9, FB),
+                  _scal8_spec(9, FB), _scal8_spec(3, FB), _scal8_spec(1, FB),
+                  _scal8_spec(g_tex.shape[-1], FB), px_spec],
         out_specs=out_specs,
         scratch_shapes=[],
     )
