@@ -1,16 +1,23 @@
-"""Headline benchmark: SoftRas forward+backward, 1024x1024, ~39k-face mesh.
+"""Driver benchmark: SoftRas + N3MR fwd+bwd rows and a NeRF train step.
 
-Mirrors the reference's README benchmark (README.md:63-69: jrender does
-35.5 ms/frame fwd+bwd on the "large (39k tris)" mesh at 1024^2 on an
-unstated GPU — BASELINE.md).  Prints ONE JSON line:
+Mirrors the reference's README performance tables:
+  * SoftRas (README.md:63-69): 7.3 / 11.5 / 35.5 ms fwd+bwd at 1024^2
+    for 280 / 3.3k / 39k-tri meshes (BASELINE.md).
+  * NMR (README.md:78-84): 32.1 / 95.7 / 114.7 ms, same meshes.
+  * NeRF (README.md:436): 1.4x official NeRF (no absolute ms published;
+    the row reports rays/s through the real jitted train step).
+
+Prints one JSON line per row:
   {"metric": ..., "value": ms, "unit": "ms/frame", "vs_baseline": speedup}
+The HEADLINE row (SoftRas large) is printed LAST — the driver parses the
+final line.  If any row with a reference baseline regresses below 1.0x,
+a loud REGRESSION_WARNING row is printed so a lowering change that tanks
+a kernel cannot land silently.
 
-The mesh is a UV-sphere with 39,474 triangles (on-screen, spot-like
-face footprint), textured with R=5 surface textures (demo1's setting),
-rendered with the default euclidean/softmax/prod config; the timed step
-is grad(sum(rgba)) wrt vertices AND textures — the same fwd+bwd the
-reference times.  Chained on-device via lax.scan so host/tunnel latency
-is excluded.
+Timed step: grad(sum(img)) wrt vertices AND textures (same fwd+bwd the
+reference times), chained on-device via lax.scan with a carry
+perturbation below f32 resolution so XLA cannot hoist the body;
+two-point timing (T(n2)-T(n1))/(n2-n1) cancels dispatch/tunnel latency.
 """
 import json
 import time
@@ -113,17 +120,46 @@ def _probe_backend(timeout=240):
         pass  # claim errored quickly; let the real import surface it
 
 
-def main():
-    _probe_backend()
+def _timed_grad_frames(grad_probe, args, n1=2, n2=12, reps=3):
+    """Best per-frame ms over reps: lax.scan-chained on-device steps,
+    two-point timing (cancels dispatch/tunnel latency).  grad_probe must
+    return a scalar depending on the timed work and accept a carry-scaled
+    first argument (defeats loop-invariant hoisting)."""
     import jax
     import jax.numpy as jnp
-    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
+    @functools.partial(jax.jit, static_argnums=(len(args),))
+    def many(*a):
+        *xs, n = a
+
+        def body(c, _):
+            r = grad_probe(xs[0] * (1.0 + c), *xs[1:])
+            return c + r * 1e-32, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return c
+
+    v = float(many(*args, n1))
+    assert np.isfinite(v), 'non-finite timed result'
+    float(many(*args, n2))
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.time()
+        float(many(*args, n1))
+        t1 = time.time()
+        float(many(*args, n2))
+        t2 = time.time()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3)
+    return best
+
+
+def bench_softras():
+    import jax
+    import jax.numpy as jnp
     from jrender_tpu.transform import look_at, perspective
     from jrender_tpu.structures import Mesh
     from jrender_tpu.ops.softras import soft_rasterize
 
+    rows = []
     for name, rings, segs, baseline in ROWS:
         if name == 'spot':
             import os
@@ -146,34 +182,11 @@ def main():
 
         grad_fn = jax.grad(one, argnums=(0, 1))
 
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def many(x, t, n):
-            # The carry perturbs the inputs below f32 resolution each step
-            # so the per-iteration grad is NOT loop-invariant — XLA must
-            # execute it n times (a carry-free body gets hoisted out of the
-            # scan and times 1/n of the real cost).
-            def body(c, _):
-                gf, gt = grad_fn(x * (1.0 + c), t)
-                return c + gf[0, 0, 0] * 1e-32, None
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-            return c
+        def probe(x, t):
+            gf, gt = grad_fn(x, t)
+            return gf[0, 0, 0] + gt[0, 0, 0, 0]
 
-        # warmup / compile (both trip counts)
-        n1, n2 = 2, 12
-        assert np.isfinite(float(many(fv, tex, n1))), 'non-finite gradients'
-        float(many(fv, tex, n2))
-
-        # two-point timing cancels the constant dispatch/tunnel overhead:
-        # per-frame = (T(n2) - T(n1)) / (n2 - n1)
-        best = np.inf
-        for _ in range(3):
-            t0 = time.time()
-            float(many(fv, tex, n1))
-            t1 = time.time()
-            float(many(fv, tex, n2))
-            t2 = time.time()
-            best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3)
-
+        best = _timed_grad_frames(probe, (fv, tex))
         row = {
             'metric': f'softras_fwd_bwd_{IMAGE_SIZE}px_{F}faces'
                       + ('_spot' if name == 'spot' else ''),
@@ -184,7 +197,143 @@ def main():
         # reference number (the reference's meshes are unspecified)
         if baseline is not None:
             row['vs_baseline'] = round(baseline / best, 3)
-        print(json.dumps(row))
+        rows.append(row)
+    return rows
+
+
+# reference README.md:78-84 — NMR fwd+bwd rows (same meshes)
+N3MR_ROWS = [('small', 13, 12, 32.1), ('middle', 38, 45, 95.7),
+             ('large', RINGS, SEGS, 114.7)]
+
+
+def bench_n3mr():
+    import jax
+    import jax.numpy as jnp
+    from jrender_tpu.transform import look_at, perspective
+    from jrender_tpu.structures import Mesh
+    from jrender_tpu.ops.n3mr import rasterize
+
+    rows = []
+    for name, rings, segs, baseline in N3MR_ROWS:
+        verts, faces = uv_sphere(rings=rings, segs=segs)
+        mesh = Mesh(verts, faces)
+        v = perspective(look_at(mesh.vertices, eye=[0, 0, -2.732]), angle=30)
+        fv = Mesh(v, mesh.faces).face_vertices.reshape(1, -1, 9)
+        F = fv.shape[1]
+        tex = jax.random.uniform(jax.random.PRNGKey(0),
+                                 (1, F, 2, 2, 2, 3), jnp.float32)
+
+        def one(x, t):
+            img = rasterize(x.reshape(1, F, 3, 3), t,
+                            image_size=IMAGE_SIZE, anti_aliasing=False)
+            return jnp.sum(img)
+
+        grad_fn = jax.grad(one, argnums=(0, 1))
+
+        def probe(x, t):
+            gf, gt = grad_fn(x, t)
+            return gf[0, 0, 0] + gt[0, 0, 0, 0, 0, 0]
+
+        best = _timed_grad_frames(probe, (fv, tex))
+        rows.append({
+            'metric': f'n3mr_fwd_bwd_{IMAGE_SIZE}px_{F}faces',
+            'value': round(best, 2),
+            'unit': 'ms/frame',
+            'vs_baseline': round(baseline / best, 3),
+        })
+    return rows
+
+
+def bench_nerf():
+    """Lego-config NeRF train step (netdepth 8 x 256, N_rand 1024,
+    N_samples 64 + N_importance 128, viewdirs) through the REAL jitted
+    make_train_step/make_scan_train path on a synthetic 400x400 image.
+    The reference publishes only a 1.4x-vs-official claim (README.md:436),
+    so the row reports ms/step and rays/s without a vs_baseline."""
+    from types import SimpleNamespace
+    import jax
+    import jax.numpy as jnp
+    from jrender_tpu.nerf.trainer import (create_nerf, make_train_step,
+                                          make_scan_train)
+
+    args = SimpleNamespace(
+        netdepth=8, netwidth=256, netdepth_fine=8, netwidth_fine=256,
+        N_rand=1024, lrate=5e-4, lrate_decay=500, chunk=32768,
+        netchunk=65536, no_batching=True, no_reload=True, ft_path=None,
+        N_iters=10, N_samples=64, N_importance=128, perturb=1.0,
+        use_viewdirs=True, i_embed=0, multires=10, multires_views=4,
+        raw_noise_std=0.0, precrop_iters=0, precrop_frac=0.5,
+        dataset_type='blender', white_bkgd=True, lindisp=False,
+        no_ndc=True, seed=0, basedir='/tmp/bench_nerf', expname='bench',
+        steps_per_dispatch=10)
+    H = W = 400
+    focal = 555.5
+    (rk_train, _, _, params, optimizer, opt_state) = create_nerf(args)
+    rk_train.pop('ndc', None)
+    rk_train['lindisp'] = False
+    step_fn = make_train_step(optimizer, rk_train, H, W, focal, 2.0, 6.0,
+                              args.N_rand, 0, 0.5, ndc=False)
+    scan_train = make_scan_train(step_fn, args.steps_per_dispatch)
+
+    key = jax.random.PRNGKey(0)
+    images = jax.random.uniform(key, (1, H, W, 3), jnp.float32)
+    poses = jnp.eye(4, dtype=jnp.float32)[None, :3, :4].at[:, 2, 3].set(-4.0)
+    img_idx = jnp.zeros((args.steps_per_dispatch,), jnp.int32)
+
+    def run(it):
+        nonlocal params, opt_state
+        params, opt_state, losses, psnrs = scan_train(
+            params, opt_state, images, poses, img_idx, it, key)
+        jax.block_until_ready(losses)
+        return losses
+
+    run(0)  # compile
+    best = np.inf
+    for r in range(3):
+        t0 = time.time()
+        run((r + 1) * args.steps_per_dispatch)
+        best = min(best, (time.time() - t0) / args.steps_per_dispatch * 1e3)
+    return [{
+        'metric': 'nerf_lego_train_step',
+        'value': round(best, 2),
+        'unit': 'ms/step',
+    }, {
+        'metric': 'nerf_lego_rays_per_s',
+        'value': round(args.N_rand / best * 1e3),
+        'unit': 'rays/s',
+    }]
+
+
+def main():
+    _probe_backend()
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    import os
+    rows = []
+    if os.environ.get('JR_BENCH_NERF', '1') == '1':
+        rows += bench_nerf()
+    if os.environ.get('JR_BENCH_N3MR', '1') == '1':
+        rows += bench_n3mr()
+    rows += bench_softras()
+
+    # headline (softras large) must be the LAST line — the driver parses it
+    headline = rows.pop(
+        max(i for i, r in enumerate(rows)
+            if r['metric'].startswith('softras') and 'vs_baseline' in r))
+    regressed = [r['metric'] for r in rows + [headline]
+                 if r.get('vs_baseline', 1.0) < 1.0]
+    for r in rows:
+        print(json.dumps(r))
+    if regressed:
+        print(json.dumps({
+            'metric': 'REGRESSION_WARNING',
+            'value': len(regressed),
+            'unit': 'rows_below_baseline',
+            'rows': regressed,
+        }))
+    print(json.dumps(headline))
 
 
 if __name__ == '__main__':

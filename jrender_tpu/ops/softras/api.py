@@ -47,14 +47,18 @@ def _soft_rasterize_core(face_vertices, textures, p: SoftRasParams, backend: str
 
 
 def _pallas_route(p: SoftRasParams, F: int, for_grad: bool = True) -> str:
-    """'px_f' | 'f_px' | 'jax'.  The px_f kernels implement the reference
-    top-K gradient truncation (threshold pass); the legacy f_px kernels do
-    not, so for non-tileable image sizes a *binding* grad_mode='topk'
-    (F > K) is honestly dispatched to the oracle instead of silently
-    dropping the policy.  The truncation only affects GRADIENTS — a
-    forward with no grad requested keeps the fast f_px kernel."""
-    from . import pallas_impl
-    if pallas_impl.LAYOUT == 'px_f' and pallas_impl._pf_tile_for(p.image_size):
+    """'pxg' | 'px_f' | 'f_px' | 'jax'.  pxg (grouped-lane work items,
+    pxg_impl.py) is the fast default; px_f is the per-tile-chunk layout
+    kept for pixel-band sharding; f_px the legacy wide-tile layout.  The
+    pxg/px_f kernels implement the reference top-K gradient truncation
+    (threshold pass); f_px does not, so for non-tileable image sizes a
+    *binding* grad_mode='topk' (F > K) is honestly dispatched to the
+    oracle instead of silently dropping the policy."""
+    from . import pallas_impl, pxg_impl
+    if pallas_impl.LAYOUT == 'pxg' and pxg_impl._pxg_tile_for(p.image_size):
+        return 'pxg'
+    if pallas_impl.LAYOUT in ('pxg', 'px_f') and \
+            pallas_impl._pf_tile_for(p.image_size):
         return 'px_f'
     if for_grad and p.grad_mode == 'topk' and p.max_faces_id < F:
         return 'jax'
@@ -66,6 +70,12 @@ def _forward(face_vertices, textures, p: SoftRasParams, backend: str,
     if backend == 'pallas':
         from . import pallas_impl
         route = _pallas_route(p, face_vertices.shape[1], for_grad)
+        if route == 'pxg':
+            from . import pxg_impl
+            with_thr = (for_grad and p.grad_mode == 'topk'
+                        and p.max_faces_id < face_vertices.shape[1])
+            return pxg_impl.soft_rasterize_fwd_pxg(
+                face_vertices, textures, p, with_thr)
         if route == 'px_f':
             # the grad-path forward also emits the top-K gradient
             # threshold map (bisected in-kernel); the plain forward skips
@@ -84,6 +94,10 @@ def _backward(face_vertices, textures, soft_colors, aggrs, faces_id, g,
     if backend == 'pallas':
         from . import pallas_impl
         route = _pallas_route(p, face_vertices.shape[1])
+        if route == 'pxg':
+            from . import pxg_impl
+            return pxg_impl.soft_rasterize_bwd_pxg(
+                face_vertices, textures, soft_colors, aggrs, faces_id, g, p)
         if route == 'px_f':
             return pallas_impl.soft_rasterize_bwd_pallas_pf(
                 face_vertices, textures, soft_colors, aggrs, faces_id, g, p)
@@ -97,7 +111,18 @@ def _backward(face_vertices, textures, soft_colors, aggrs, faces_id, g,
 def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
     if backend == 'pallas':
         from . import pallas_impl
-        if _pallas_route(p, face_vertices.shape[1], True) == 'px_f':
+        route = _pallas_route(p, face_vertices.shape[1], True)
+        if route == 'pxg':
+            # share the binning/gather prep between fwd and bwd (residual)
+            from . import pxg_impl
+            with_thr = (p.grad_mode == 'topk'
+                        and p.max_faces_id < face_vertices.shape[1])
+            prep = pxg_impl.prep_pxg(face_vertices, textures, p)
+            out, aggrs, aux = pxg_impl.soft_rasterize_fwd_pxg(
+                face_vertices, textures, p, with_thr, prep=prep)
+            return out, (face_vertices, textures, out, aggrs, aux,
+                         None, prep)
+        if route == 'px_f':
             # share the binning/gather prep between fwd and bwd: it is a
             # pure function of (face_vertices, textures) and costs a sort
             # + large gathers — running it once per frame, not twice
@@ -106,18 +131,25 @@ def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
             prep = pallas_impl.prep_pf(face_vertices, textures, p)
             out, aggrs, aux = pallas_impl.soft_rasterize_fwd_pallas_pf(
                 face_vertices, textures, p, with_thr, prep=prep)
-            return out, (face_vertices, textures, out, aggrs, aux, prep)
+            return out, (face_vertices, textures, out, aggrs, aux, prep,
+                         None)
     out, aggrs, faces_id = _forward(face_vertices, textures, p, backend,
                                     for_grad=True)
-    return out, (face_vertices, textures, out, aggrs, faces_id, None)
+    return out, (face_vertices, textures, out, aggrs, faces_id, None, None)
 
 
 def _core_bwd(p: SoftRasParams, backend: str, res, g):
-    face_vertices, textures, out, aggrs, faces_id, prep = res
-    if prep is not None:
+    face_vertices, textures, out, aggrs, faces_id, prep_pf, prep_pxg = res
+    if prep_pxg is not None:
+        from . import pxg_impl
+        return pxg_impl.soft_rasterize_bwd_pxg(
+            face_vertices, textures, out, aggrs, faces_id, g, p,
+            prep=prep_pxg)
+    if prep_pf is not None:
         from . import pallas_impl
         return pallas_impl.soft_rasterize_bwd_pallas_pf(
-            face_vertices, textures, out, aggrs, faces_id, g, p, prep=prep)
+            face_vertices, textures, out, aggrs, faces_id, g, p,
+            prep=prep_pf)
     gf, gt = _backward(face_vertices, textures, out, aggrs, faces_id, g, p, backend)
     return gf, gt
 

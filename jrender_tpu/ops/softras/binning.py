@@ -242,18 +242,29 @@ def gather_work_ids(cl: CompactLists, tile, chunk, fb: int, cap: int):
     b = tile // NT
     tloc = tile - b * NT
     idx = chunk[:, None] * fb + jnp.arange(fb, dtype=jnp.int32)[None, :]
-    cum_t = cl.gt_cum.reshape(B * NT, CL_GBIG)[tile]              # [W, G]
-    gcnt_w = cum_t[:, -1:]                                        # [W, 1]
+    gcnt_w = cl.gt_cum[..., -1].reshape(B * NT)[tile][:, None]    # [W, 1]
     counts_w = jnp.minimum(cl.counts[b, tloc], cap)[:, None]
     in_g = idx < gcnt_w
-    # rank-select: the j-th glist face overlapping this tile is the first
-    # g with cum_t[g] == j+1, i.e. pos = #{g: cum_t[g] < j+1}.  The fused
-    # broadcast compare-sum vectorizes on TPU (a vmapped searchsorted
-    # lowers to an XLA while loop that cost ~20 ms/frame here).
-    pos = jnp.sum((cum_t[:, :, None] <= idx[:, None, :]).astype(jnp.int32),
-                  axis=1)
-    gval = cl.glist.reshape(-1)[
-        b[:, None] * CL_GBIG + jnp.clip(pos, 0, CL_GBIG - 1)]
+
+    def with_glist(_):
+        # rank-select: the j-th glist face overlapping this tile is the
+        # first g with cum_t[g] == j+1, i.e. pos = #{g: cum_t[g] < j+1}.
+        # The fused broadcast compare-sum vectorizes on TPU (a vmapped
+        # searchsorted lowers to an XLA while loop, ~20 ms/frame here).
+        cum_t = cl.gt_cum.reshape(B * NT, CL_GBIG)[tile]          # [W, G]
+        pos = jnp.sum(
+            (cum_t[:, :, None] <= idx[:, None, :]).astype(jnp.int32),
+            axis=1)
+        return cl.glist.reshape(-1)[
+            b[:, None] * CL_GBIG + jnp.clip(pos, 0, CL_GBIG - 1)]
+
+    # most meshes have an empty glist (every face fits the mt span);
+    # the cond skips ~6 ms/frame of rank-select gathers in that case
+    gval = jax.lax.cond(jnp.max(cl.gcount) > 0, with_glist,
+                        lambda _: jnp.zeros_like(idx), 0)
+    # NOTE: keep this a per-ELEMENT gather — fb-wide slice gathers
+    # (vmapped dynamic_slice or lax.gather with slice_sizes=fb) lower to
+    # a SEQUENTIAL while loop on TPU (~95 ms for 64k rows, measured)
     ssrc = cl.starts[b, tloc][:, None] + idx - gcnt_w
     sval = cl.faces_sorted.reshape(-1)[
         b[:, None] * P + jnp.clip(ssrc, 0, P - 1)]

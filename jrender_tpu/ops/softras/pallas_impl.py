@@ -43,9 +43,11 @@ SENTINEL = 1e9  # padded faces get this coordinate -> border check kills them
 TILE_H = 16
 TILE_W = 128
 FACE_BLOCK = 32
-# 'px_f' (pixels on sublanes, faces on lanes) is the fast layout for
-# meshes of small faces; 'f_px' is the legacy wide-tile layout
-LAYOUT = 'px_f'
+# 'pxg' (grouped lanes: 16 groups of 8 faces, each group its own tile —
+# pxg_impl.py) is the fast default; 'px_f' (pixels on sublanes, one
+# tile's faces across all lanes) is kept for pixel-band sharding;
+# 'f_px' is the legacy wide-tile layout
+LAYOUT = os.environ.get('JR_LAYOUT', 'pxg')
 
 
 def _is_tpu() -> bool:
@@ -180,6 +182,14 @@ def _pair_terms_kernel(face, inv, sym, obt, xp, yp, p: SoftRasParams,
             return a[:, i][:, None, None]
         xpb = xp[None, :, :]
         ypb = yp[None, :, :]
+    elif layout == 'pxg':
+        # grouped-lane layout: xp/yp arrive pre-flattened [T2, FB] with
+        # PER-LANE pixel coordinates (each lane group renders its own
+        # tile); face data [C, FB] rows broadcast against them directly
+        def comp(a, i):
+            return a[i:i + 1, :]
+        xpb = xp
+        ypb = yp
     else:
         # face/inv/sym/obt pre-transposed to [C, FB]; pair arrays
         # [ph, pw, FB] -- row slices stay 2-D (Mosaic: no 1-D vectors)
@@ -264,6 +274,9 @@ def _pair_colors(tex, terms, p: SoftRasParams, T: int, perspective=True,
     if layout == 'f_px':
         def bt(a, i):
             return a[:, i][:, None, None]
+    elif layout == 'pxg':
+        def bt(a, i):
+            return a[i:i + 1, :]
     else:
         def bt(a, i):
             return a[i:i + 1, :][None]
@@ -911,7 +924,7 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                                    precision=jax.lax.Precision.DEFAULT,
                                    preferred_element_type=jnp.float32)
 
-    def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s, lim_s,
+    def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s, lim_s, ty0_s,
                ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref,
                tex_ref, out_ref, *scratch):
         if with_thr:
@@ -1173,7 +1186,7 @@ def _make_bwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
                                    precision=HIP,
                                    preferred_element_type=jnp.float32)
 
-    def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s, lim_s,
+    def kernel(b_s, ty_s, tx_s, ch_s, first_s, last_s, act_s, lim_s, ty0_s,
                ids_ref, face_ref, inv_ref, sym_ref, obt_ref, front_ref,
                tex_ref, px_ref, gface_ref, gtex_ref):
         i = pl.program_id(0)
@@ -1432,10 +1445,13 @@ def _prep_work_data_pf(face_vertices, textures, p: SoftRasParams, cap, w_cap,
     scalars, ids_w, gathered, total = _work_gather_pf(
         lists, counts, cap, w_cap, B, F, NT, TX,
         (face, face_inv, face_sym, face_obt, front, tex))
-    if band is not None:
-        b_of, out_ty, out_tx, chunk, first, last, active, lim = scalars
-        scalars = (b_of, out_ty - ty0, out_tx, chunk, first, last, active,
-                   lim)
+    # pixel coords in the kernel need the GLOBAL tile row; only the
+    # output-block row is band-local, so ty0 rides a 9th prefetch scalar
+    # that the out/px index maps subtract (a band-local ty here rendered
+    # every band > 0 at the wrong pixels)
+    ty0_arr = (jnp.zeros((1,), jnp.int32) if band is None
+               else jnp.asarray(ty0, jnp.int32).reshape(1))
+    scalars = scalars + (ty0_arr,)
     report_overflow(counts, cap, total, w_cap,
                     where=f'softras px_f {is_}px')
     # big faces dropped past the glist cap are missing from EVERY tile
@@ -1498,10 +1514,11 @@ def _work_cap_pf(F: int, n_tiles: int, B: int) -> int:
     return max(64, est)
 
 
-def _scal8_spec(c, FB):
+def _scal9_spec(c, FB):
     return pl.BlockSpec(
         (1, c, FB),
-        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s: (i, 0, 0),
+        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s, t0_s:
+        (i, 0, 0),
         memory_space=pltpu.VMEM)
 
 
@@ -1542,8 +1559,8 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
     NT = TYB * TX
     out_spec = pl.BlockSpec(
         (1, 1, T2, FWD_C),
-        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s:
-        (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
+        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s, t0_s:
+        (b_s[i], (ty_s[i] - t0_s[0]) * TX + tx_s[i], 0, 0),
         memory_space=pltpu.VMEM)
     scratch = [
         pltpu.VMEM((T2, 4), jnp.float32),       # acc_ns (rgb + softmax sum)
@@ -1561,11 +1578,11 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
     # traced grid bounds; the interpreter used on CPU does not)
     n_steps = (scalars[7][0] if os.environ.get('JR_DYN_GRID', '1') == '1' else w_cap) if _is_tpu() else w_cap
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(n_steps,),
-        in_specs=[_scal8_spec(1, FB), _scal8_spec(9, FB), _scal8_spec(9, FB),
-                  _scal8_spec(9, FB), _scal8_spec(3, FB), _scal8_spec(1, FB),
-                  _scal8_spec(g_tex.shape[-1], FB)],
+        in_specs=[_scal9_spec(1, FB), _scal9_spec(9, FB), _scal9_spec(9, FB),
+                  _scal9_spec(9, FB), _scal9_spec(3, FB), _scal9_spec(1, FB),
+                  _scal9_spec(g_tex.shape[-1], FB)],
         out_specs=[out_spec],
         scratch_shapes=scratch,
     )
@@ -1646,18 +1663,18 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
         .reshape(B, NT, T2, BWD_PC)
     px_spec = pl.BlockSpec(
         (1, 1, T2, BWD_PC),
-        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s:
-        (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
+        lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s, t0_s:
+        (b_s[i], (ty_s[i] - t0_s[0]) * TX + tx_s[i], 0, 0),
         memory_space=pltpu.VMEM)
 
     out_specs = [
         pl.BlockSpec((1, 9, FB),
-                     lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s:
-                     (i, 0, 0),
+                     lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s,
+                     li_s, t0_s: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T * 3, FB),
-                     lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s, li_s:
-                     (i, 0, 0),
+                     lambda i, b_s, ty_s, tx_s, ch_s, fi_s, la_s, ac_s,
+                     li_s, t0_s: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shapes = [
@@ -1667,11 +1684,11 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
 
     n_steps = (scalars[7][0] if os.environ.get('JR_DYN_GRID', '1') == '1' else w_cap) if _is_tpu() else w_cap
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(n_steps,),
-        in_specs=[_scal8_spec(1, FB), _scal8_spec(9, FB), _scal8_spec(9, FB),
-                  _scal8_spec(9, FB), _scal8_spec(3, FB), _scal8_spec(1, FB),
-                  _scal8_spec(g_tex.shape[-1], FB), px_spec],
+        in_specs=[_scal9_spec(1, FB), _scal9_spec(9, FB), _scal9_spec(9, FB),
+                  _scal9_spec(9, FB), _scal9_spec(3, FB), _scal9_spec(1, FB),
+                  _scal9_spec(g_tex.shape[-1], FB), px_spec],
         out_specs=out_specs,
         scratch_shapes=[],
     )

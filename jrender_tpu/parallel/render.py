@@ -19,13 +19,19 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.softras import jax_impl
 from ..ops.softras.params import SoftRasParams
 
 
 def _band_uses_pallas() -> bool:
+    """Pallas band kernels on real TPUs; JR_FORCE_PALLAS_BANDS=1 runs
+    them in interpret mode on the CPU mesh so the band index math
+    (ty0/ty_band) and psum glue are exercised multi-device in CI."""
+    import os
+    if os.environ.get('JR_FORCE_PALLAS_BANDS', '0') == '1':
+        return True
     try:
         return jax.devices()[0].platform in ('tpu', 'axon')
     except Exception:
@@ -96,7 +102,7 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
                 shard_map, mesh=mesh, in_specs=(P(), P()),
                 out_specs=(P(None, None, axis), (P(None, None, axis),
                                                  P(None, None, axis))),
-                check_rep=False)
+                check_vma=False)
             def run(fb, tb):
                 return _band_fwd(fb, tb, with_thr)
             out, res = run(face_r, tex_r)
@@ -120,7 +126,7 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
                 shard_map, mesh=mesh,
                 in_specs=(P(), P(), P(None, None, axis), P(None, None, axis),
                           P(None, None, axis), P(None, None, axis)),
-                out_specs=(P(), P()), check_rep=False)
+                out_specs=(P(), P()), check_vma=False)
             def run_bwd(fb, tb, sc_b, ag_b, aux_b, g_b):
                 from ..ops.softras import pallas_impl as PI
                 ty0 = jax.lax.axis_index(axis).astype(jnp.int32) * TYB
@@ -133,7 +139,7 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
         @functools.partial(
             shard_map, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(None, None, axis)),
-            out_specs=(P(), P()), check_rep=False)
+            out_specs=(P(), P()), check_vma=False)
         def run_bwd(fb, tb, xp_b, yp_b, g_b):
             def one(f1, t1, g1):
                 sc, ag, fid = jax_impl.forward_single(

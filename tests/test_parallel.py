@@ -70,3 +70,38 @@ class TestShardedRasterize:
         tscale = max(float(jnp.abs(gt_ref).max()), 1e-6)
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref),
                                    atol=2e-3 * tscale, rtol=2e-3)
+
+    def test_band_pallas_path_multi_device(self, rng, mesh8, monkeypatch):
+        """The PRODUCTION px_f band kernels (ty0/ty_band index math +
+        psum glue) must execute under shard_map — forced into interpret
+        mode on the 8-CPU mesh via JR_FORCE_PALLAS_BANDS (VERDICT r2
+        item 6).  grad_mode='topk' (K<F) also runs the banded threshold
+        pass.  PF_TILE=8 gives 8 tile rows at 64px -> one per device."""
+        from jrender_tpu.ops.softras import pallas_impl
+        monkeypatch.setenv('JR_FORCE_PALLAS_BANDS', '1')
+        monkeypatch.setattr(pallas_impl, 'PF_TILE', 8)
+        p, fv, _ = self._setup(rng)
+        tex = jnp.asarray(rng.uniform(size=(1, 40, 1, 3)).astype(np.float32))
+        g = jnp.asarray(rng.randn(1, 4, 64, 64).astype(np.float32))
+
+        out_ref, ag, fid = jax_impl.soft_rasterize_fwd_jax(fv, tex, p)
+        gf_ref, gt_ref = jax_impl.soft_rasterize_bwd_jax(
+            fv, tex, out_ref, ag, fid, g, p)
+
+        def loss_sh(f, t):
+            with mesh8:
+                out = soft_rasterize_sharded_vjp(f, t, p, mesh8)
+            return jnp.sum(out * g)
+
+        with mesh8:
+            out = soft_rasterize_sharded_vjp(fv, tex, p, mesh8)
+        assert (np.abs(np.asarray(out) - np.asarray(out_ref)) > 2e-4).mean() \
+            < 0.01
+        gf, gt = jax.grad(loss_sh, argnums=(0, 1))(fv, tex)
+        # topk truncation binds identically in the banded and oracle paths
+        scale = max(float(jnp.abs(gf_ref).max()), 1e-6)
+        assert (np.abs(np.asarray(gf) - np.asarray(gf_ref))
+                > 2e-3 * scale).mean() < 0.08
+        tscale = max(float(jnp.abs(gt_ref).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref),
+                                   atol=2e-3 * tscale, rtol=2e-3)

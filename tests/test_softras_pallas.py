@@ -3,7 +3,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from jrender_tpu.ops.softras import jax_impl, pallas_impl, make_params
+from jrender_tpu.ops.softras import jax_impl, pallas_impl, pxg_impl, make_params
 
 from conftest import make_random_mesh
 
@@ -367,7 +367,7 @@ class TestTopKTruncation:
                              grad_mode='full')
         assert api._pallas_route(p_full, F) == 'f_px'
         p_ok = make_params(image_size=32, max_faces_per_pixel_for_grad=K)
-        assert api._pallas_route(p_ok, F) == 'px_f'
+        assert api._pallas_route(p_ok, F) == 'pxg'
 
 
 def test_custom_vjp_pallas_backend(rng):
@@ -383,3 +383,61 @@ def test_custom_vjp_pallas_backend(rng):
     gf, gt = jax.grad(loss, argnums=(0, 1))(jnp.asarray(fv), jnp.asarray(tex))
     assert np.isfinite(np.asarray(gf)).all() and np.abs(np.asarray(gf)).sum() > 0
     assert np.isfinite(np.asarray(gt)).all() and np.abs(np.asarray(gt)).sum() > 0
+
+
+class TestPxgParity(TestPxFParity):
+    """Grouped-lane pxg layout (pxg_impl.py) vs the jnp oracle — inherits
+    the full px_f sweep (32 -> 16px tiles, 24 -> 8px tiles)."""
+
+    def _run_pf(self, fv, tex, p):
+        out_j, ag_j, _ = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        out_p, ag_p, aux = pxg_impl.soft_rasterize_fwd_pxg(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        return (np.asarray(out_j), np.asarray(out_p), np.asarray(ag_j),
+                np.asarray(ag_p), aux)
+
+    def _grads_both_pf(self, fv, tex, p, rng, is_=32):
+        g = rng.randn(1, 4, is_, is_).astype(np.float32)
+        out_j, ag_j, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        gf_j, gt_j = jax_impl.soft_rasterize_bwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j,
+            jnp.asarray(g), p)
+        with_thr = p.grad_mode == 'topk' and p.max_faces_id < fv.shape[1]
+        out_p, ag_p, aux = pxg_impl.soft_rasterize_fwd_pxg(
+            jnp.asarray(fv), jnp.asarray(tex), p, with_thr)
+        gf_p, gt_p = pxg_impl.soft_rasterize_bwd_pxg(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
+            jnp.asarray(g), p)
+        return map(np.asarray, (gf_j, gt_j, gf_p, gt_p))
+
+    def test_candidate_count_matches_oracle(self, rng):
+        F = 24
+        p = make_params(image_size=32, sigma_val=1e-3,
+                        max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        _, _, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        _, _, aux = pxg_impl.soft_rasterize_fwd_pxg(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        np.testing.assert_array_equal(np.asarray(aux[0, 0]),
+                                      np.asarray((fid_j[0] >= 0).sum(0)))
+
+
+class TestTopKTruncationPxg(TestTopKTruncation):
+    """Same top-K truncation semantics through the pxg layout (threshold
+    computed by the XLA depth bisection instead of the in-kernel slab)."""
+
+    def _pf_grads(self, p, fv, tex, g):
+        with_thr = p.grad_mode == 'topk' and p.max_faces_id < fv.shape[1]
+        out_p, ag_p, aux = pxg_impl.soft_rasterize_fwd_pxg(
+            jnp.asarray(fv), jnp.asarray(tex), p, with_thr)
+        assert float(aux[:, 0].max()) > p.max_faces_id  # truncation binds
+        return map(np.asarray, pxg_impl.soft_rasterize_bwd_pxg(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
+            jnp.asarray(g), p))
+
+    def test_api_topk_dispatch_non_tileable(self):
+        pass  # covered by the base class (route logic is layout-global)
