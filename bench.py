@@ -7,12 +7,16 @@ Mirrors the reference's README performance tables:
   * NeRF (README.md:436): 1.4x official NeRF (no absolute ms published;
     the row reports rays/s through the real jitted train step).
 
-Prints one JSON line per row:
-  {"metric": ..., "value": ms, "unit": "ms/frame", "vs_baseline": speedup}
-The HEADLINE row (SoftRas large) is printed LAST — the driver parses the
-final line.  If any row with a reference baseline regresses below 1.0x,
-a loud REGRESSION_WARNING row is printed so a lowering change that tanks
-a kernel cannot land silently.
+Prints one JSON line per row, FLUSHED THE MOMENT IT IS COMPUTED, so a
+timeout / crash / tunnel RPC failure mid-run loses at most the rows not
+yet reached — never the whole artifact.  Ordering is headline-first:
+the SoftRas large (39k-face) row is computed and printed before anything
+else, then the other SoftRas rows, then N3MR, then NeRF.  The headline
+row is RE-printed as the final line (the driver parses the last line).
+Each row runs under its own try/except; a failure prints a ROW_ERROR
+line and the run continues.  A wall-clock budget (JR_BENCH_BUDGET_S,
+default 1500 s) gates the optional back rows so a cold compile cache
+cannot push the run past the driver's window.
 
 Timed step: grad(sum(img)) wrt vertices AND textures (same fwd+bwd the
 reference times), chained on-device via lax.scan with a carry
@@ -20,6 +24,8 @@ perturbation below f32 resolution so XLA cannot hoist the body;
 two-point timing (T(n2)-T(n1))/(n2-n1) cancels dispatch/tunnel latency.
 """
 import json
+import os
+import sys
 import time
 import functools
 
@@ -30,23 +36,34 @@ IMAGE_SIZE = 1024
 RINGS = 130
 SEGS = 153  # 2*SEGS*(RINGS-1) = 39,474 faces
 
+T_START = time.time()
+BUDGET_S = float(os.environ.get('JR_BENCH_BUDGET_S', '1500'))
+
 # reference README.md:63-69 — all three mesh rows; the large row is the
-# headline and is printed LAST (the driver parses the final JSON line).
+# headline, computed FIRST and re-printed LAST (driver parses final line).
 ROWS = [
-    ('small', 13, 12, 7.3),     # 288 tris
-    ('middle', 38, 45, 11.5),   # 3,330 tris
-    ('spot', None, None, None),  # real scanned mesh (subdivided), no ref row
     ('large', RINGS, SEGS, BASELINE_MS),
+    ('middle', 38, 45, 11.5),   # 3,330 tris
+    ('small', 13, 12, 7.3),     # 288 tris
+    ('spot', None, None, None),  # real scanned mesh (subdivided), no ref row
 ]
 
 SPOT_OBJ = '/root/reference/data/obj/spot/spot_triangulated.obj'
+
+
+def emit(row):
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def remaining():
+    return BUDGET_S - (time.time() - T_START)
 
 
 def subdivide(verts, faces):
     """One midpoint (1:4) subdivision — turns spot's 5,856 tris into a
     23.4k-tri real-geometry benchmark mesh (non-uniform face sizes, real
     curvature: the honest counterpart to the synthetic UV sphere)."""
-    import numpy as np
     edges = {}
     vs = [v for v in verts]
 
@@ -68,7 +85,6 @@ def subdivide(verts, faces):
 def spot_mesh():
     from jrender_tpu.io import load_obj
     v, f = load_obj(SPOT_OBJ, load_texture=False)[:2]
-    import numpy as np
     v = np.asarray(v, np.float32)
     f = np.asarray(f, np.int32)
     v = (v - v.mean(0)) / np.abs(v - v.mean(0)).max() * 0.85
@@ -107,7 +123,6 @@ def _probe_backend(timeout=240):
     in a subprocess with a timeout turns that into a clean failure instead
     of a silently hung benchmark run."""
     import subprocess
-    import sys
     try:
         subprocess.run([sys.executable, '-c', 'import jax; jax.devices()'],
                        timeout=timeout, check=True,
@@ -152,99 +167,92 @@ def _timed_grad_frames(grad_probe, args, n1=2, n2=12, reps=3):
     return best
 
 
-def bench_softras():
+def softras_row(name, rings, segs, baseline):
     import jax
     import jax.numpy as jnp
     from jrender_tpu.transform import look_at, perspective
     from jrender_tpu.structures import Mesh
     from jrender_tpu.ops.softras import soft_rasterize
 
-    rows = []
-    for name, rings, segs, baseline in ROWS:
-        if name == 'spot':
-            import os
-            if not os.path.exists(SPOT_OBJ):
-                continue
-            verts, faces = spot_mesh()
-        else:
-            verts, faces = uv_sphere(rings=rings, segs=segs)
-        mesh = Mesh(verts, faces, texture_res=5, texture_type='surface')
-        v = perspective(look_at(mesh.vertices, eye=[0, 0, -2.732]), angle=30)
-        fv = Mesh(v, mesh.faces).face_vertices.reshape(1, -1, 9)
-        tex = jax.random.uniform(jax.random.PRNGKey(0),
-                                 (1, fv.shape[1], 25, 3))
-        F = fv.shape[1]
+    if name == 'spot':
+        if not os.path.exists(SPOT_OBJ):
+            return None
+        verts, faces = spot_mesh()
+    else:
+        verts, faces = uv_sphere(rings=rings, segs=segs)
+    mesh = Mesh(verts, faces, texture_res=5, texture_type='surface')
+    v = perspective(look_at(mesh.vertices, eye=[0, 0, -2.732]), angle=30)
+    fv = Mesh(v, mesh.faces).face_vertices.reshape(1, -1, 9)
+    tex = jax.random.uniform(jax.random.PRNGKey(0),
+                             (1, fv.shape[1], 25, 3))
+    F = fv.shape[1]
 
-        def one(x, t):
-            img = soft_rasterize(x, t, image_size=IMAGE_SIZE, sigma_val=1e-5,
-                                 gamma_val=1e-4)
-            return jnp.sum(img)
+    def one(x, t):
+        img = soft_rasterize(x, t, image_size=IMAGE_SIZE, sigma_val=1e-5,
+                             gamma_val=1e-4)
+        return jnp.sum(img)
 
-        grad_fn = jax.grad(one, argnums=(0, 1))
+    grad_fn = jax.grad(one, argnums=(0, 1))
 
-        def probe(x, t):
-            gf, gt = grad_fn(x, t)
-            return gf[0, 0, 0] + gt[0, 0, 0, 0]
+    def probe(x, t):
+        gf, gt = grad_fn(x, t)
+        return gf[0, 0, 0] + gt[0, 0, 0, 0]
 
-        best = _timed_grad_frames(probe, (fv, tex))
-        row = {
-            'metric': f'softras_fwd_bwd_{IMAGE_SIZE}px_{F}faces'
-                      + ('_spot' if name == 'spot' else ''),
-            'value': round(best, 2),
-            'unit': 'ms/frame',
-        }
-        # the spot row is a real-geometry honesty check with no
-        # reference number (the reference's meshes are unspecified)
-        if baseline is not None:
-            row['vs_baseline'] = round(baseline / best, 3)
-        rows.append(row)
-    return rows
+    best = _timed_grad_frames(probe, (fv, tex))
+    row = {
+        'metric': f'softras_fwd_bwd_{IMAGE_SIZE}px_{F}faces'
+                  + ('_spot' if name == 'spot' else ''),
+        'value': round(best, 2),
+        'unit': 'ms/frame',
+    }
+    # the spot row is a real-geometry honesty check with no
+    # reference number (the reference's meshes are unspecified)
+    if baseline is not None:
+        row['vs_baseline'] = round(baseline / best, 3)
+    return row
 
 
 # reference README.md:78-84 — NMR fwd+bwd rows (same meshes)
-N3MR_ROWS = [('small', 13, 12, 32.1), ('middle', 38, 45, 95.7),
-             ('large', RINGS, SEGS, 114.7)]
+N3MR_ROWS = [('large', RINGS, SEGS, 114.7), ('middle', 38, 45, 95.7),
+             ('small', 13, 12, 32.1)]
 
 
-def bench_n3mr():
+def n3mr_row(name, rings, segs, baseline):
     import jax
     import jax.numpy as jnp
     from jrender_tpu.transform import look_at, perspective
     from jrender_tpu.structures import Mesh
     from jrender_tpu.ops.n3mr import rasterize
 
-    rows = []
-    for name, rings, segs, baseline in N3MR_ROWS:
-        verts, faces = uv_sphere(rings=rings, segs=segs)
-        mesh = Mesh(verts, faces)
-        v = perspective(look_at(mesh.vertices, eye=[0, 0, -2.732]), angle=30)
-        fv = Mesh(v, mesh.faces).face_vertices.reshape(1, -1, 9)
-        F = fv.shape[1]
-        tex = jax.random.uniform(jax.random.PRNGKey(0),
-                                 (1, F, 2, 2, 2, 3), jnp.float32)
+    verts, faces = uv_sphere(rings=rings, segs=segs)
+    mesh = Mesh(verts, faces)
+    v = perspective(look_at(mesh.vertices, eye=[0, 0, -2.732]), angle=30)
+    fv = Mesh(v, mesh.faces).face_vertices.reshape(1, -1, 9)
+    F = fv.shape[1]
+    tex = jax.random.uniform(jax.random.PRNGKey(0),
+                             (1, F, 2, 2, 2, 3), jnp.float32)
 
-        def one(x, t):
-            img = rasterize(x.reshape(1, F, 3, 3), t,
-                            image_size=IMAGE_SIZE, anti_aliasing=False)
-            return jnp.sum(img)
+    def one(x, t):
+        img = rasterize(x.reshape(1, F, 3, 3), t,
+                        image_size=IMAGE_SIZE, anti_aliasing=False)
+        return jnp.sum(img)
 
-        grad_fn = jax.grad(one, argnums=(0, 1))
+    grad_fn = jax.grad(one, argnums=(0, 1))
 
-        def probe(x, t):
-            gf, gt = grad_fn(x, t)
-            return gf[0, 0, 0] + gt[0, 0, 0, 0, 0, 0]
+    def probe(x, t):
+        gf, gt = grad_fn(x, t)
+        return gf[0, 0, 0] + gt[0, 0, 0, 0, 0, 0]
 
-        best = _timed_grad_frames(probe, (fv, tex))
-        rows.append({
-            'metric': f'n3mr_fwd_bwd_{IMAGE_SIZE}px_{F}faces',
-            'value': round(best, 2),
-            'unit': 'ms/frame',
-            'vs_baseline': round(baseline / best, 3),
-        })
-    return rows
+    best = _timed_grad_frames(probe, (fv, tex))
+    return {
+        'metric': f'n3mr_fwd_bwd_{IMAGE_SIZE}px_{F}faces',
+        'value': round(best, 2),
+        'unit': 'ms/frame',
+        'vs_baseline': round(baseline / best, 3),
+    }
 
 
-def bench_nerf():
+def nerf_rows():
     """Lego-config NeRF train step (netdepth 8 x 256, N_rand 1024,
     N_samples 64 + N_importance 128, viewdirs) through the REAL jitted
     make_train_step/make_scan_train path on a synthetic 400x400 image.
@@ -310,30 +318,48 @@ def main():
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-    import os
     rows = []
-    if os.environ.get('JR_BENCH_NERF', '1') == '1':
-        rows += bench_nerf()
-    if os.environ.get('JR_BENCH_N3MR', '1') == '1':
-        rows += bench_n3mr()
-    rows += bench_softras()
+    headline = None
 
-    # headline (softras large) must be the LAST line — the driver parses it
-    headline = rows.pop(
-        max(i for i, r in enumerate(rows)
-            if r['metric'].startswith('softras') and 'vs_baseline' in r))
-    regressed = [r['metric'] for r in rows + [headline]
+    def try_row(label, fn, *a, min_budget=0.0):
+        """Run one row; print+flush immediately; never raise."""
+        if remaining() < min_budget:
+            emit({'metric': 'ROW_SKIPPED', 'value': round(remaining(), 1),
+                  'unit': 's_remaining', 'row': label})
+            return None
+        try:
+            r = fn(*a)
+        except Exception as e:  # noqa: BLE001 — one bad row must not kill all
+            emit({'metric': 'ROW_ERROR', 'value': 0, 'unit': 'error',
+                  'row': label, 'error': f'{type(e).__name__}: {e}'[:300]})
+            return None
+        for one in (r if isinstance(r, list) else [r] if r else []):
+            rows.append(emit(one))
+        return r
+
+    # HEADLINE FIRST: SoftRas large — printed now, re-printed last.
+    for name, rings, segs, baseline in ROWS:
+        r = try_row(f'softras_{name}', softras_row, name, rings, segs,
+                    baseline)
+        if name == 'large' and r is not None:
+            headline = r
+
+    if os.environ.get('JR_BENCH_N3MR', '1') == '1':
+        for name, rings, segs, baseline in N3MR_ROWS:
+            try_row(f'n3mr_{name}', n3mr_row, name, rings, segs, baseline,
+                    min_budget=120.0)
+    if os.environ.get('JR_BENCH_NERF', '1') == '1':
+        try_row('nerf', nerf_rows, min_budget=240.0)
+
+    regressed = [r['metric'] for r in rows
                  if r.get('vs_baseline', 1.0) < 1.0]
-    for r in rows:
-        print(json.dumps(r))
     if regressed:
-        print(json.dumps({
-            'metric': 'REGRESSION_WARNING',
-            'value': len(regressed),
-            'unit': 'rows_below_baseline',
-            'rows': regressed,
-        }))
-    print(json.dumps(headline))
+        emit({'metric': 'REGRESSION_WARNING', 'value': len(regressed),
+              'unit': 'rows_below_baseline', 'rows': regressed})
+    if headline is not None:
+        emit(headline)  # final line = headline (driver parses last line)
+    else:
+        emit({'metric': 'HEADLINE_MISSING', 'value': 0, 'unit': 'error'})
 
 
 if __name__ == '__main__':
