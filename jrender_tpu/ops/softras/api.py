@@ -47,17 +47,22 @@ def _soft_rasterize_core(face_vertices, textures, p: SoftRasParams, backend: str
 
 
 def _pallas_route(p: SoftRasParams, F: int, for_grad: bool = True) -> str:
-    """'pxg' | 'px_f' | 'f_px' | 'jax'.  pxg (grouped-lane work items,
-    pxg_impl.py) is the fast default; px_f is the per-tile-chunk layout
-    kept for pixel-band sharding; f_px the legacy wide-tile layout.  The
-    pxg/px_f kernels implement the reference top-K gradient truncation
-    (threshold pass); f_px does not, so for non-tileable image sizes a
-    *binding* grad_mode='topk' (F > K) is honestly dispatched to the
-    oracle instead of silently dropping the policy."""
+    """'pxt' | 'pxg' | 'px_f' | 'f_px' | 'jax'.  pxt (tile-block-aligned
+    work items with kernel-resident combine, pxt_impl.py) is the fast
+    default; pxg is its predecessor (XLA segment combine); px_f is the
+    per-tile-chunk layout kept for pixel-band sharding; f_px the legacy
+    wide-tile layout.  The pxt/pxg/px_f kernels implement the reference
+    top-K gradient truncation (threshold pass); f_px does not, so for
+    non-tileable image sizes a *binding* grad_mode='topk' (F > K) is
+    honestly dispatched to the oracle instead of silently dropping the
+    policy."""
     from . import pallas_impl, pxg_impl
-    if pallas_impl.LAYOUT == 'pxg' and pxg_impl._pxg_tile_for(p.image_size):
+    if pallas_impl.LAYOUT == 'pxt' and pxg_impl._pxg_tile_for(p.image_size):
+        return 'pxt'
+    if pallas_impl.LAYOUT in ('pxt', 'pxg') and \
+            pxg_impl._pxg_tile_for(p.image_size):
         return 'pxg'
-    if pallas_impl.LAYOUT in ('pxg', 'px_f') and \
+    if pallas_impl.LAYOUT in ('pxt', 'pxg', 'px_f') and \
             pallas_impl._pf_tile_for(p.image_size):
         return 'px_f'
     if for_grad and p.grad_mode == 'topk' and p.max_faces_id < F:
@@ -70,6 +75,12 @@ def _forward(face_vertices, textures, p: SoftRasParams, backend: str,
     if backend == 'pallas':
         from . import pallas_impl
         route = _pallas_route(p, face_vertices.shape[1], for_grad)
+        if route == 'pxt':
+            from . import pxt_impl
+            with_thr = (for_grad and p.grad_mode == 'topk'
+                        and p.max_faces_id < face_vertices.shape[1])
+            return pxt_impl.soft_rasterize_fwd_pxt(
+                face_vertices, textures, p, with_thr)
         if route == 'pxg':
             from . import pxg_impl
             with_thr = (for_grad and p.grad_mode == 'topk'
@@ -94,6 +105,10 @@ def _backward(face_vertices, textures, soft_colors, aggrs, faces_id, g,
     if backend == 'pallas':
         from . import pallas_impl
         route = _pallas_route(p, face_vertices.shape[1])
+        if route == 'pxt':
+            from . import pxt_impl
+            return pxt_impl.soft_rasterize_bwd_pxt(
+                face_vertices, textures, soft_colors, aggrs, faces_id, g, p)
         if route == 'pxg':
             from . import pxg_impl
             return pxg_impl.soft_rasterize_bwd_pxg(
@@ -112,6 +127,16 @@ def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
     if backend == 'pallas':
         from . import pallas_impl
         route = _pallas_route(p, face_vertices.shape[1], True)
+        if route == 'pxt':
+            # share the binning/gather prep between fwd and bwd (residual)
+            from . import pxt_impl
+            with_thr = (p.grad_mode == 'topk'
+                        and p.max_faces_id < face_vertices.shape[1])
+            prep = pxt_impl.prep_pxt(face_vertices, textures, p)
+            out, aggrs, aux = pxt_impl.soft_rasterize_fwd_pxt(
+                face_vertices, textures, p, with_thr, prep=prep)
+            return out, (face_vertices, textures, out, aggrs, aux,
+                         None, None, prep)
         if route == 'pxg':
             # share the binning/gather prep between fwd and bwd (residual)
             from . import pxg_impl
@@ -121,7 +146,7 @@ def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
             out, aggrs, aux = pxg_impl.soft_rasterize_fwd_pxg(
                 face_vertices, textures, p, with_thr, prep=prep)
             return out, (face_vertices, textures, out, aggrs, aux,
-                         None, prep)
+                         None, prep, None)
         if route == 'px_f':
             # share the binning/gather prep between fwd and bwd: it is a
             # pure function of (face_vertices, textures) and costs a sort
@@ -132,14 +157,21 @@ def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
             out, aggrs, aux = pallas_impl.soft_rasterize_fwd_pallas_pf(
                 face_vertices, textures, p, with_thr, prep=prep)
             return out, (face_vertices, textures, out, aggrs, aux, prep,
-                         None)
+                         None, None)
     out, aggrs, faces_id = _forward(face_vertices, textures, p, backend,
                                     for_grad=True)
-    return out, (face_vertices, textures, out, aggrs, faces_id, None, None)
+    return out, (face_vertices, textures, out, aggrs, faces_id, None, None,
+                 None)
 
 
 def _core_bwd(p: SoftRasParams, backend: str, res, g):
-    face_vertices, textures, out, aggrs, faces_id, prep_pf, prep_pxg = res
+    (face_vertices, textures, out, aggrs, faces_id, prep_pf, prep_pxg,
+     prep_pxt) = res
+    if prep_pxt is not None:
+        from . import pxt_impl
+        return pxt_impl.soft_rasterize_bwd_pxt(
+            face_vertices, textures, out, aggrs, faces_id, g, p,
+            prep=prep_pxt)
     if prep_pxg is not None:
         from . import pxg_impl
         return pxg_impl.soft_rasterize_bwd_pxg(

@@ -43,11 +43,12 @@ SENTINEL = 1e9  # padded faces get this coordinate -> border check kills them
 TILE_H = 16
 TILE_W = 128
 FACE_BLOCK = 32
-# 'pxg' (grouped lanes: 16 groups of 8 faces, each group its own tile —
-# pxg_impl.py) is the fast default; 'px_f' (pixels on sublanes, one
-# tile's faces across all lanes) is kept for pixel-band sharding;
-# 'f_px' is the legacy wide-tile layout
-LAYOUT = os.environ.get('JR_LAYOUT', 'pxg')
+# 'pxt' (tile-block-aligned grouped lanes with kernel-resident per-tile
+# combine — pxt_impl.py) is the fast default; 'pxg' (grouped lanes with
+# the XLA segment combine) is its predecessor; 'px_f' (pixels on
+# sublanes, one tile's faces across all lanes) is kept for pixel-band
+# sharding; 'f_px' is the legacy wide-tile layout
+LAYOUT = os.environ.get('JR_LAYOUT', 'pxt')
 
 
 def _is_tpu() -> bool:
@@ -1408,8 +1409,11 @@ def _work_gather_pf(lists, counts, cap, w_cap, B, F, NT, TX, arrays):
     active = in_range.astype(jnp.int32)
     # `lim` (= num_items) drives a DYNAMIC grid size on TPU: only the
     # real work items execute, so the generous static w_cap bound costs
-    # nothing at runtime (padding beyond w_cap would drop + report)
-    lim = jnp.maximum(total, 1).reshape(1)
+    # nothing at runtime.  Clamped to w_cap: an unclamped grid on
+    # binning overflow would run steps past the prefetch arrays' static
+    # length (advisor r3 finding) — clamped, overflow degrades to the
+    # reported drop it is supposed to be.
+    lim = jnp.minimum(jnp.maximum(total, 1), w_cap).reshape(1)
     scalars = (b_of, out_ty, out_tx, chunk, first, last, active, lim)
     return scalars, ids_w[:, None, :].astype(jnp.int32), gathered, total
 

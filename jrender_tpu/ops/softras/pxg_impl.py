@@ -91,11 +91,20 @@ def _mt_pxg(F: int) -> int:
     return 12
 
 
+def _glist_slack(F: int, n_tiles: int) -> int:
+    """Group slack for glist faces: with binning's exact per-tile
+    distribution each glist face contributes one entry to EVERY tile its
+    bbox overlaps (advisor r3: the old 2*CL_GBIG reserve under-counted).
+    Budget an average overlap of 32 tiles per big face; scenes beyond
+    that degrade to a reported drop (the dynamic grid is clamped)."""
+    return min(CL_GBIG, F) * min(n_tiles, 32) // G8 + 2 * CL_GBIG
+
+
 def _wg_cap_pxg(F: int, n_tiles: int, B: int) -> int:
     """Static bound on 8-lane groups: sorted-run groups (<= mt pairs per
     face / 8, +1 ceil-rounding group per tile) plus glist slack."""
     mt = _mt_pxg(F)
-    est = B * ((F * mt) // G8 + n_tiles + 2 * CL_GBIG)
+    est = B * ((F * mt) // G8 + n_tiles + _glist_slack(F, n_tiles))
     est = max(GPI, est)
     return (est + GPI - 1) // GPI * GPI
 
@@ -193,7 +202,12 @@ def prep_pxg(face_vertices, textures, p: SoftRasParams):
         jnp.repeat(yb.reshape(w_cap, GPI), G8, axis=1)], axis=1)  # [W,2,128]
 
     seg = jnp.where(in_range, tile_g, B * NT)
-    lim = jnp.maximum((total_g + GPI - 1) // GPI, 1).reshape(1)
+    # clamp to the static cap: an unclamped dynamic grid on binning
+    # overflow would run steps past w_cap and index the prefetch arrays
+    # out of bounds (advisor r3 finding) — clamping degrades overflow to
+    # the reported drop it is supposed to be
+    lim = jnp.minimum(jnp.maximum((total_g + GPI - 1) // GPI, 1),
+                      w_cap).reshape(1)
 
     report_overflow(counts, cap, total_g, wg_cap,
                     where=f'softras pxg {is_}px')
@@ -590,7 +604,7 @@ def _thr_from_depths(zk, counts, cap, cnt_rows, p: SoftRasParams, NTT):
     i0 = lstart // FB
     l0 = lstart - i0 * FB
     nrow = (l0 + nlane + FB - 1) // FB
-    lim = jnp.maximum(n_over, 1).reshape(1)
+    lim = jnp.minimum(jnp.maximum(n_over, 1), NTT).reshape(1)
 
     kernel = _make_thr_kernel_pxg(p, T2)
     # [NTT, 1, T2] rows: pixels on lanes — a trailing dim of 1 would
@@ -602,7 +616,7 @@ def _thr_from_depths(zk, counts, cap, cnt_rows, p: SoftRasParams, NTT):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(_grid_steps(lim, NTT),),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec],
         scratch_shapes=[pltpu.VMEM((THR_ROWS, T2, FB), jnp.int32),
                         pltpu.SemaphoreType.DMA(())],

@@ -54,3 +54,18 @@ def make_random_mesh(rng, num_faces=24, scale=0.7, z_offset=2.5):
     z = z_offset + rng.uniform(-0.4, 0.4, size=(num_faces, 3, 1))
     fv = np.concatenate([xy, z], axis=-1).astype(np.float32)
     return fv[None]  # [1, F, 3, 3]
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The suite compiles several hundred interpret-mode Pallas programs;
+    keeping every executable alive for the whole session has produced
+    rare late-session segfaults inside XLA:CPU's compiler (observed at
+    ~2/3 through a full run, never in per-file runs).  Dropping the
+    in-memory jit cache per module bounds the accumulation; the
+    persistent on-disk cache (where configured) is unaffected."""
+    yield
+    import jax
+    jax.clear_caches()

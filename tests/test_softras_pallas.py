@@ -3,7 +3,8 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from jrender_tpu.ops.softras import jax_impl, pallas_impl, pxg_impl, make_params
+from jrender_tpu.ops.softras import (jax_impl, pallas_impl, pxg_impl,
+                                     pxt_impl, make_params)
 
 from conftest import make_random_mesh
 
@@ -367,7 +368,7 @@ class TestTopKTruncation:
                              grad_mode='full')
         assert api._pallas_route(p_full, F) == 'f_px'
         p_ok = make_params(image_size=32, max_faces_per_pixel_for_grad=K)
-        assert api._pallas_route(p_ok, F) == 'pxg'
+        assert api._pallas_route(p_ok, F) == 'pxt'
 
 
 def test_custom_vjp_pallas_backend(rng):
@@ -441,3 +442,126 @@ class TestTopKTruncationPxg(TestTopKTruncation):
 
     def test_api_topk_dispatch_non_tileable(self):
         pass  # covered by the base class (route logic is layout-global)
+
+
+class TestPxtParity(TestPxgParity):
+    """Tile-block-aligned pxt layout (pxt_impl.py) vs the jnp oracle —
+    inherits the full px_f/pxg sweep (32 -> 16px tiles, 24 -> 8px
+    tiles), exercising the revisited-block combine, the in-kernel ring
+    -slab top-K threshold, and the revisited px backward input."""
+
+    def _run_pf(self, fv, tex, p):
+        out_j, ag_j, _ = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        out_p, ag_p, aux = pxt_impl.soft_rasterize_fwd_pxt(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        return (np.asarray(out_j), np.asarray(out_p), np.asarray(ag_j),
+                np.asarray(ag_p), aux)
+
+    def _grads_both_pf(self, fv, tex, p, rng, is_=32):
+        g = rng.randn(1, 4, is_, is_).astype(np.float32)
+        out_j, ag_j, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        gf_j, gt_j = jax_impl.soft_rasterize_bwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j,
+            jnp.asarray(g), p)
+        with_thr = p.grad_mode == 'topk' and p.max_faces_id < fv.shape[1]
+        out_p, ag_p, aux = pxt_impl.soft_rasterize_fwd_pxt(
+            jnp.asarray(fv), jnp.asarray(tex), p, with_thr)
+        gf_p, gt_p = pxt_impl.soft_rasterize_bwd_pxt(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
+            jnp.asarray(g), p)
+        return map(np.asarray, (gf_j, gt_j, gf_p, gt_p))
+
+    def test_candidate_count_matches_oracle(self, rng):
+        F = 24
+        p = make_params(image_size=32, sigma_val=1e-3,
+                        max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        _, _, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        _, _, aux = pxt_impl.soft_rasterize_fwd_pxt(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        np.testing.assert_array_equal(np.asarray(aux[0, 0]),
+                                      np.asarray((fid_j[0] >= 0).sum(0)))
+
+    def test_tpi_sweep_parity(self, rng):
+        """The block width must not change results: run one scene at
+        every TPI (1/2/4 at a 2x2-tile image) and compare to TPI=auto."""
+        import os
+        F = 24
+        p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        ref = None
+        for tpi in ('1', '2', '4'):
+            os.environ['JR_PXT_TPI'] = tpi
+            try:
+                out, ag, aux = pxt_impl.soft_rasterize_fwd_pxt(
+                    jnp.asarray(fv), jnp.asarray(tex), p)
+            finally:
+                del os.environ['JR_PXT_TPI']
+            out = np.asarray(out)
+            if ref is None:
+                ref = out
+            else:
+                np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+class TestTopKTruncationPxt(TestTopKTruncation):
+    """Same top-K truncation semantics through the pxt layout (threshold
+    bisected in the forward kernel from the ring slab)."""
+
+    def _pf_grads(self, p, fv, tex, g):
+        with_thr = p.grad_mode == 'topk' and p.max_faces_id < fv.shape[1]
+        out_p, ag_p, aux = pxt_impl.soft_rasterize_fwd_pxt(
+            jnp.asarray(fv), jnp.asarray(tex), p, with_thr)
+        assert float(aux[:, 0].max()) > p.max_faces_id  # truncation binds
+        return map(np.asarray, pxt_impl.soft_rasterize_bwd_pxt(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
+            jnp.asarray(g), p))
+
+    def test_api_topk_dispatch_non_tileable(self):
+        pass  # covered by the base class (route logic is layout-global)
+
+
+def test_pxt_glist_parity(rng):
+    """Faces spanning more tiles than the emit cap ride the glist path;
+    forcing mt=2 routes most faces through it — gradients must still
+    match the oracle (exercises the glist branch of the pxt face-major
+    gradient reduction).  F=23 keeps the jit cache cold (prep reads
+    JR_PXG_MT at trace time)."""
+    import os
+    F = 23
+    p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                    max_faces_per_pixel_for_grad=F)
+    fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+    tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+    g = rng.randn(1, 4, 32, 32).astype(np.float32)
+    os.environ['JR_PXG_MT'] = '2'
+    try:
+        from jrender_tpu.ops.softras.binning import build_tile_lists_compact
+        from jrender_tpu.ops.softras.pxg_impl import _mt_pxg
+        lists = build_tile_lists_compact(
+            jnp.asarray(fv), 32, 16, 16, p.threshold, _mt_pxg(F))
+        assert int(np.asarray(lists.gcount)[0]) > 0  # glist binds
+        out_p, ag_p, aux = pxt_impl.soft_rasterize_fwd_pxt(
+            jnp.asarray(fv), jnp.asarray(tex), p, False)
+        gf_p, gt_p = pxt_impl.soft_rasterize_bwd_pxt(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
+            jnp.asarray(g), p)
+    finally:
+        del os.environ['JR_PXG_MT']
+    out_j, ag_j, fid_j = jax_impl.soft_rasterize_fwd_jax(
+        jnp.asarray(fv), jnp.asarray(tex), p)
+    gf_j, gt_j = jax_impl.soft_rasterize_bwd_jax(
+        jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j,
+        jnp.asarray(g), p)
+    gf_j, gt_j, gf_p, gt_p = map(np.asarray, (gf_j, gt_j, gf_p, gt_p))
+    d = np.abs(np.asarray(out_p) - np.asarray(out_j))
+    assert (d > 2e-5).mean() < 0.01
+    scale = np.abs(gf_j).max()
+    assert (np.abs(gf_p - gf_j) > 2e-3 * scale).mean() < 0.02
+    np.testing.assert_allclose(
+        gt_p, gt_j, atol=2e-3 * max(np.abs(gt_j).max(), 1e-6))

@@ -19,7 +19,7 @@ def main():
     from jrender_tpu.structures import Mesh
     from jrender_tpu.ops.softras import soft_rasterize
 
-    rings, segs = (13, 12) if sys.argv[1] == 'small' else (130, 153)
+    rings, segs = {"small": (13, 12), "middle": (38, 45), "large": (130, 153)}[sys.argv[1]]
     verts, faces = uv_sphere(rings=rings, segs=segs)
     mesh = Mesh(verts, faces, texture_res=5, texture_type='surface')
     v = perspective(look_at(mesh.vertices, eye=[0, 0, -2.732]), angle=30)
