@@ -46,7 +46,7 @@ def _make_maps_kernel(is_: int, near: float, far: float, t: int,
     C_sel = 9 + 3 + n_tex + 1
     C_pad = (C_sel + 7) // 8 * 8        # Mosaic block sublane alignment
 
-    def kernel(b_s, ty_s, tx_s, first_s, last_s, act_s,
+    def kernel(lim_s, b_s, ty_s, tx_s, first_s, last_s, act_s,
                *refs):
         if n_tex:
             (ids_ref, face_ref, inv_ref, front_ref, tex_ref,
@@ -214,8 +214,13 @@ def _prep_maps_pf(face, is_: int, cap: int, w_cap: int, tex=None):
     out_tx = t_in_b - out_ty * TX
     active = in_range.astype(jnp.int32)
     covered = (lists.counts > 0).reshape(B, TY, TX)
+    # dynamic grid: only true work items execute on TPU (the static
+    # w_cap is a generous bound; clamped so binning overflow degrades
+    # to a reported drop, never out-of-bounds prefetch reads)
+    lim = jnp.minimum(jnp.maximum(total, 1), w_cap).reshape(1)
     return (ids_w[:, None, :].astype(jnp.int32), g_face, g_inv, g_front,
-            g_tex, b_of, out_ty, out_tx, first, last, active, covered)
+            g_tex, b_of, out_ty, out_tx, first, last, active, covered,
+            lim)
 
 
 MAX_TEX_SEL = 96     # select texture rows in-kernel up to ts^3*3 <= 96
@@ -242,24 +247,28 @@ def forward_sel_pallas(face, tex, is_: int, near: float, far: float):
     C_pad = (C_sel + 7) // 8 * 8
 
     (ids, g_face, g_inv, g_front, g_tex, out_b, out_ty, out_tx,
-     first, last, active, covered) = _prep_maps_pf(face, is_, cap, w_cap, tex)
+     first, last, active, covered, lim) = _prep_maps_pf(face, is_, cap,
+                                                        w_cap, tex)
 
     FB = PF_FB
     kernel = _make_maps_kernel(is_, near, far, t, n_tex)
 
     def in_spec(c):
-        return pl.BlockSpec((1, c, FB),
-                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (1, c, FB),
+            lambda i, lim_s, b_s, ty_s, tx_s, fi_s, la_s, ac_s: (i, 0, 0),
+            memory_space=pltpu.VMEM)
 
-    out_spec = pl.BlockSpec((1, 2, 1, t, t),
-                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
-                            (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
-                            memory_space=pltpu.VMEM)
-    sel_spec = pl.BlockSpec((1, 1, C_pad, t * t),
-                            lambda i, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
-                            (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
-                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, 2, 1, t, t),
+        lambda i, lim_s, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
+        (b_s[i], 0, ty_s[i] * TX + tx_s[i], 0, 0),
+        memory_space=pltpu.VMEM)
+    sel_spec = pl.BlockSpec(
+        (1, 1, C_pad, t * t),
+        lambda i, lim_s, b_s, ty_s, tx_s, fi_s, la_s, ac_s:
+        (b_s[i], ty_s[i] * TX + tx_s[i], 0, 0),
+        memory_space=pltpu.VMEM)
 
     in_specs = [in_spec(1), in_spec(9), in_spec(9), in_spec(1)]
     inputs = [ids, g_face, g_inv, g_front]
@@ -268,8 +277,8 @@ def forward_sel_pallas(face, tex, is_: int, near: float, far: float):
         inputs.append(g_tex)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(w_cap,),
+        num_scalar_prefetch=7,
+        grid=(lim[0] if _is_tpu() else w_cap,),
         in_specs=in_specs,
         out_specs=[out_spec, sel_spec],
         scratch_shapes=[pltpu.VMEM((t, t), jnp.float32),
@@ -284,7 +293,7 @@ def forward_sel_pallas(face, tex, is_: int, near: float, far: float):
                    jax.ShapeDtypeStruct((B, NT, C_pad, t * t), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=not _is_tpu(),
-    )(out_b, out_ty, out_tx, first, last, active, *inputs)
+    )(lim, out_b, out_ty, out_tx, first, last, active, *inputs)
 
     zf = zf_t.reshape(B, 2, TY, TX, t, t).transpose(0, 1, 2, 4, 3, 5) \
         .reshape(B, 2, is_, is_)

@@ -70,7 +70,7 @@ def main():
 
         def banded_only(x, g):
             return banded_bwd.backward_pixel_map_banded(
-                x, m.face_index[0], m.rgb[0], m.alpha[0],
+                x[0], m.face_index[0], m.rgb[0], m.alpha[0],
                 g[0], g_alpha[0], IMAGE_SIZE, p.eps, True, True).sum()
 
         def texbwd_only(x, g):
