@@ -1526,10 +1526,11 @@ def _scal9_spec(c, FB):
         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 5, 7))
 def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
                                  with_thr: bool = False, ty0=None,
-                                 ty_band: int | None = None, prep=None):
+                                 ty_band: int | None = None, prep=None,
+                                 vma=None):
     """Returns (out [B,4,H,W], aggrs [B,2,H,W], aux [B,2,H,W]).
 
     aux[:, 0] is the per-pixel candidate count (reference q_size);
@@ -1594,7 +1595,8 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
     (rows_t,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, NT, T2, FWD_C), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((B, NT, T2, FWD_C), jnp.float32,
+                                        vma=vma)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=not _is_tpu(),
     )(*scalars, ids, g_face, g_inv, g_sym, g_obt, g_front, g_tex)
@@ -1623,11 +1625,12 @@ def soft_rasterize_fwd_pallas_pf(face_vertices, textures, p: SoftRasParams,
 BWD_PC = 11   # out r/g/b/a | softmax sum/max | grad r/g/b/a | thr
 
 
-@functools.partial(jax.jit, static_argnums=(6, 8))
+@functools.partial(jax.jit, static_argnums=(6, 8, 10))
 def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
                                  aggrs_info, aux, grad_soft_colors,
                                  p: SoftRasParams, ty0=None,
-                                 ty_band: int | None = None, prep=None):
+                                 ty_band: int | None = None, prep=None,
+                                 vma=None):
     """aux is the forward's [B,2,H,W] (candidate count, top-K threshold).
 
     ty0/ty_band: optional pixel-band restriction — the pixel maps are
@@ -1682,8 +1685,8 @@ def soft_rasterize_bwd_pallas_pf(face_vertices, textures, soft_colors,
                      memory_space=pltpu.VMEM),
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((w_cap, 9, FB), jnp.float32),
-        jax.ShapeDtypeStruct((w_cap, T * 3, FB), jnp.float32),
+        jax.ShapeDtypeStruct((w_cap, 9, FB), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct((w_cap, T * 3, FB), jnp.float32, vma=vma),
     ]
 
     n_steps = (scalars[7][0] if os.environ.get('JR_DYN_GRID', '1') == '1' else w_cap) if _is_tpu() else w_cap

@@ -98,6 +98,11 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
 
     def _run_fwd(face_r, tex_r, with_thr):
         if use_pallas:
+            # check_vma=False: the band restriction slices replicated
+            # tile tables with the device-varying ty0 — a mixed-vma
+            # dynamic_slice the checker cannot type yet (JAX suggests
+            # exactly this workaround in its error).  The oracle paths
+            # below run with the checker ON.
             @functools.partial(
                 shard_map, mesh=mesh, in_specs=(P(), P()),
                 out_specs=(P(None, None, axis), (P(None, None, axis),
@@ -139,7 +144,7 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
         @functools.partial(
             shard_map, mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(None, None, axis)),
-            out_specs=(P(), P()), check_vma=False)
+            out_specs=(P(), P()))
         def run_bwd(fb, tb, xp_b, yp_b, g_b):
             def one(f1, t1, g1):
                 sc, ag, fid = jax_impl.forward_single(

@@ -347,3 +347,50 @@ class TestSSS:
         assert np.isfinite(tex).all()
         assert tex.min() >= 0.0 and tex.max() <= 1.0
         assert tex.max() > 0.0  # something was baked
+
+
+class TestSSRNoTruncation:
+    def test_default_max_steps_never_truncates(self):
+        """The reference marches reflections to the screen edge
+        (SSR_cuda.py:100+); this port caps the DDA at max_steps.  On the
+        mirror-floor scene the DEFAULT cap must already find every
+        reflection the uncapped march finds: quadrupling max_steps must
+        not change a single pixel."""
+        width = 0.5
+        world, normals, color, faces_ind, ssr_faces, is_floor = \
+            _mirror_floor_scene(width=width)
+        args = (jnp.asarray(color), jnp.asarray(world),
+                jnp.asarray(normals), jnp.asarray(faces_ind), ssr_faces,
+                width)
+        out_default = np.asarray(I.SSR(*args, far=100.0))   # max_steps=256
+        out_long = np.asarray(I.SSR(*args, far=100.0, max_steps=1024))
+        np.testing.assert_array_equal(out_default, out_long)
+        # and the reflection actually exists (the assertion is not vacuous)
+        assert (out_default - color)[is_floor].max() > 0.2
+
+
+class TestDegenerateMeshNormals:
+    def test_f32_normals_survive_degenerate_faces(self):
+        """The reference upcasts the normal cross product to float64
+        (jrender/structures/mesh.py:219-221); TPUs have no f64, so the
+        f32 path guards normalization with eps.  Near-zero-area slivers
+        must keep direction and unit length; exactly-degenerate faces
+        must produce finite (zero) normals, never NaN."""
+        from jrender_tpu.structures import Mesh
+        s = 3e-6   # sliver extent: area ~ 4.5e-12, squared-norm ~ 1e-23
+        verts = np.array([
+            [0, 0, 0], [s, 0, 0], [0, s, 0],        # tiny but valid (+z)
+            [1, 1, 1], [1, 1, 1], [1, 1, 1],        # exactly degenerate
+            [0, 0, 0], [1, 0, 0], [0, 1, 0],        # normal-size (+z)
+        ], np.float32)
+        faces = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32)
+        m = Mesh(verts[None], faces)
+        n = np.asarray(m.surface_normals)[0]
+        assert np.isfinite(n).all()
+        # healthy faces: unit normals pointing +z (reference orientation)
+        for i in (0, 2):
+            np.testing.assert_allclose(np.linalg.norm(n[i]), 1.0, atol=1e-3)
+            assert n[i, 2] > 0.99
+        # vertex normals (segment-summed) must also stay finite
+        vn = np.asarray(m.vertex_normals)
+        assert np.isfinite(vn).all()
