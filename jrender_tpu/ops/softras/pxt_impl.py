@@ -102,8 +102,9 @@ def _pxt_caps(F: int, image_size: int, B: int):
     return t, NT, NTP, cap, TPI, w_cap
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def prep_pxt(face_vertices, textures, p: SoftRasParams):
+@functools.partial(jax.jit, static_argnums=(2, 4))
+def prep_pxt(face_vertices, textures, p: SoftRasParams, ty0=None,
+             ty_band: int | None = None):
     """Binning + block-aligned work-list + per-lane gather shared by the
     pxt forward and backward.
 
@@ -139,6 +140,13 @@ def prep_pxt(face_vertices, textures, p: SoftRasParams):
     lists = build_tile_lists_compact(face, is_, t, t, p.threshold,
                                      _mt_pxg(F))
     counts = lists.counts
+    if ty_band is not None:
+        # pixel-band restriction (sharded rendering): zero the demand of
+        # tiles outside rows [ty0, ty0+ty_band); everything downstream
+        # (covered set, blocks, items, dynamic grid) follows
+        tyv = (jnp.arange(BNT, dtype=jnp.int32) % NT) // TX
+        in_band = (tyv >= ty0) & (tyv < ty0 + ty_band)
+        counts = jnp.where(in_band.reshape(B, NT), counts, 0)
     c = jnp.minimum(counts.reshape(-1), cap)                     # [BNT]
     ng = (c + G8 - 1) // G8
     covered = ng > 0
@@ -632,9 +640,10 @@ NUM_SCALARS = 6   # lim, blk, first, thr_nr, thr_l0, thr_l1
 # forward entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 6, 7))
 def soft_rasterize_fwd_pxt(face_vertices, textures, p: SoftRasParams,
-                           with_thr: bool = False, prep=None):
+                           with_thr: bool = False, prep=None, ty0=None,
+                           ty_band: int | None = None, vma=None):
     """Returns (out [B,4,H,W], aggrs [B,2,H,W], aux [B,2,H,W]).
 
     aux[:, 0] = per-pixel candidate count (reference q_size); aux[:, 1] =
@@ -649,7 +658,7 @@ def soft_rasterize_fwd_pxt(face_vertices, textures, p: SoftRasParams,
     ncb = NCC // TPI
 
     if prep is None:
-        prep = prep_pxt(face_vertices, textures, p)
+        prep = prep_pxt(face_vertices, textures, p, ty0, ty_band)
     T = textures.shape[2] if p.texture_type_id == 0 else 3
 
     kernel = _make_fwd_kernel_pxt(p, T, TPI, w_cap, with_thr)
@@ -659,7 +668,7 @@ def soft_rasterize_fwd_pxt(face_vertices, textures, p: SoftRasParams,
         memory_space=pltpu.VMEM)]
     # +1: dump block for padding items (static CPU-interpret grid only)
     out_shapes = [jax.ShapeDtypeStruct((ncb + 1, FWD_CH, TPI, T2),
-                                       jnp.float32)]
+                                       jnp.float32, vma=vma)]
     scratch = [pltpu.VMEM((SLAB_R, T2, FB), jnp.int32)] if with_thr else []
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -695,6 +704,15 @@ def soft_rasterize_fwd_pxt(face_vertices, textures, p: SoftRasParams,
         .at[jnp.minimum(prep['rawj'], BNT)].set(rows, mode='drop')
 
     counts = prep['counts']
+    if ty_band is not None:
+        # band-local outputs: slice the band's tile rows before assembly
+        raw = jax.lax.dynamic_slice_in_dim(
+            raw.reshape(B, NT, T2, FWD_CH), ty0 * TX, ty_band * TX,
+            axis=1).reshape(B * ty_band * TX, T2, FWD_CH)
+        counts = jax.lax.dynamic_slice_in_dim(counts, ty0 * TX,
+                                              ty_band * TX, axis=1)
+        TY = ty_band
+        BNT = B * ty_band * TX
     cnt_t = raw[..., 6]
     alpha = raw[..., 5]
     if p.alpha_func_id == 1:
@@ -940,10 +958,11 @@ def _make_bwd_kernel_pxt(p: SoftRasParams, T: int, F_total: int, TPI: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
+@functools.partial(jax.jit, static_argnums=(6, 9, 10))
 def soft_rasterize_bwd_pxt(face_vertices, textures, soft_colors,
                            aggrs_info, aux, grad_soft_colors,
-                           p: SoftRasParams, prep=None):
+                           p: SoftRasParams, prep=None, ty0=None,
+                           ty_band: int | None = None, vma=None):
     B, F = face_vertices.shape[:2]
     is_ = p.image_size
     t, NT, NTP, cap, TPI, w_cap = _pxt_caps(F, is_, B)
@@ -954,17 +973,27 @@ def soft_rasterize_bwd_pxt(face_vertices, textures, soft_colors,
     ncb = NCC // TPI
 
     if prep is None:
-        prep = prep_pxt(face_vertices, textures, p)
+        prep = prep_pxt(face_vertices, textures, p, ty0, ty_band)
     T = textures.shape[2] if p.texture_type_id == 0 else 3
     use_thr = p.grad_mode == 'topk' and p.max_faces_id < F
 
     # per-tile pixel rows in padded-compact block order, channel-major
-    # lanes: px_hbm[beta, s, c*TPI + lt]
+    # lanes: px_hbm[beta, s, c*TPI + lt].  In band mode the pixel maps
+    # are band-local; padded-compact j's raw tile ids map into them by
+    # subtracting the band origin.
+    TYv = TY if ty_band is None else ty_band
+    NTv = NT if ty_band is None else ty_band * TX
     pximg = jnp.concatenate([soft_colors, aggrs_info, grad_soft_colors,
                              aux[:, 1:2]], axis=1)
-    px_rows = pximg.reshape(B, BWD_PC, TY, t, TX, t) \
-        .transpose(0, 2, 4, 3, 5, 1).reshape(BNT, T2, BWD_PC)
-    rawj_safe = jnp.minimum(prep['rawj'], BNT - 1)
+    px_rows = pximg.reshape(B, BWD_PC, TYv, t, TX, t) \
+        .transpose(0, 2, 4, 3, 5, 1).reshape(B * NTv, T2, BWD_PC)
+    rawj = prep['rawj']
+    if ty_band is not None:
+        b_of_j = jnp.minimum(rawj // NT, B - 1)
+        rawj = jnp.where(rawj < BNT,
+                         b_of_j * NTv + (rawj - b_of_j * NT - ty0 * TX),
+                         B * NTv)
+    rawj_safe = jnp.clip(rawj, 0, B * NTv - 1)
     px_hbm = px_rows[rawj_safe].reshape(ncb, TPI, T2, BWD_PC) \
         .transpose(0, 2, 3, 1).reshape(ncb, T2, BWD_PC * TPI)
     # +1: dump row fetched by padding items (CPU-interpret static grid)
@@ -982,7 +1011,7 @@ def soft_rasterize_bwd_pxt(face_vertices, textures, soft_colors,
                      memory_space=pltpu.VMEM),
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((w_cap, FB, GC), jnp.float32),
+        jax.ShapeDtypeStruct((w_cap, FB, GC), jnp.float32, vma=vma),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=NUM_SCALARS,

@@ -2,7 +2,9 @@
 
 Pixel-band data parallelism via shard_map: each device rasterizes a
 horizontal band of the output image against the full (replicated) face
-set through the SAME binned px_f Pallas kernels as the single-chip path
+set through the SAME binned Pallas kernels as the single-chip path
+(the default pxt tile-block layout when the image tiles to 16px, else
+px_f)
 (ops.softras.pallas_impl with a tile-row band restriction) — the forward
 needs NO cross-device communication (SURVEY.md §5: the softmax depth
 aggregation is pixel-local), and backward face/texture gradients are
@@ -66,9 +68,14 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
     face = face_vertices.reshape(B, F, 9)
     use_pallas = _band_uses_pallas()
 
+    use_pxt = False
     if use_pallas:
         from ..ops.softras import pallas_impl as PI
-        t = PI._pf_tile_for(is_)
+        from ..ops.softras import pxg_impl, pxt_impl
+        use_pxt = (PI.LAYOUT == 'pxt'
+                   and pxg_impl._pxg_tile_for(is_) > 0
+                   and (is_ // pxg_impl._pxg_tile_for(is_)) % n_dev == 0)
+        t = pxg_impl._pxg_tile_for(is_) if use_pxt else PI._pf_tile_for(is_)
         TY = is_ // t
         assert TY % n_dev == 0, 'tile rows must divide over devices'
         TYB = TY // n_dev
@@ -88,8 +95,13 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
     def _band_fwd(face_b, tex_b, with_thr):
         from ..ops.softras import pallas_impl as PI
         ty0 = jax.lax.axis_index(axis).astype(jnp.int32) * TYB
-        out, aggrs, aux = PI.soft_rasterize_fwd_pallas_pf(
-            face_b, tex_b, p, with_thr, ty0, TYB)
+        if use_pxt:
+            from ..ops.softras import pxt_impl
+            out, aggrs, aux = pxt_impl.soft_rasterize_fwd_pxt(
+                face_b, tex_b, p, with_thr, None, ty0, TYB)
+        else:
+            out, aggrs, aux = PI.soft_rasterize_fwd_pallas_pf(
+                face_b, tex_b, p, with_thr, ty0, TYB)
         return out, (aggrs, aux)
 
     def _sharded_fwd(face_r, tex_r):
@@ -135,8 +147,13 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
             def run_bwd(fb, tb, sc_b, ag_b, aux_b, g_b):
                 from ..ops.softras import pallas_impl as PI
                 ty0 = jax.lax.axis_index(axis).astype(jnp.int32) * TYB
-                gf, gt = PI.soft_rasterize_bwd_pallas_pf(
-                    fb, tb, sc_b, ag_b, aux_b, g_b, p, ty0, TYB)
+                if use_pxt:
+                    from ..ops.softras import pxt_impl
+                    gf, gt = pxt_impl.soft_rasterize_bwd_pxt(
+                        fb, tb, sc_b, ag_b, aux_b, g_b, p, None, ty0, TYB)
+                else:
+                    gf, gt = PI.soft_rasterize_bwd_pallas_pf(
+                        fb, tb, sc_b, ag_b, aux_b, g_b, p, ty0, TYB)
                 return (jax.lax.psum(gf, axis), jax.lax.psum(gt, axis))
             return run_bwd(face_r, tex_r, out, aggrs, aux, g)
 

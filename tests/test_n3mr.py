@@ -309,3 +309,32 @@ class TestPallasMaps:
         for k in ('rgb', 'alpha', 'depth'):
             np.testing.assert_allclose(np.asarray(outs['pallas'][k]),
                                        np.asarray(outs['jax'][k]), atol=1e-4)
+
+
+def test_backward_textures_pallas_parity():
+    """The tiled winner-onehot texture backward must match the XLA
+    segment-sum reference exactly (interpret mode on CPU)."""
+    from jrender_tpu.ops.n3mr import api, impl, pallas_impl
+    rng = np.random.RandomState(3)
+    F, is_ = 24, 64
+    cen = rng.uniform(-0.6, 0.6, (F, 1, 2))
+    off = rng.uniform(-0.3, 0.3, (F, 3, 2))
+    z = 3.0 + rng.uniform(-0.5, 0.5, (F, 3, 1))
+    face = np.concatenate([cen + off, z], -1).astype(np.float32) \
+        .reshape(1, F, 9)
+    tex = rng.uniform(size=(1, F, 2, 2, 2, 3)).astype(np.float32)
+    p = api.N3mrParams(image_size=is_, near=0.1, far=100.0, eps=1e-4,
+                       background_color=(0., 0., 0.), return_rgb=True,
+                       return_alpha=True, return_depth=True)
+    out, m = api._forward(jnp.asarray(face).reshape(1, F, 3, 3),
+                          jnp.asarray(tex), p)
+    g_rgb = jnp.asarray(rng.randn(1, is_, is_, 3).astype(np.float32))
+    ref = jax.vmap(lambda fi, wt, dpv, zc, gr: impl.backward_textures_single(
+        tex.shape[1:], fi, wt, dpv, zc, gr, p.eps))(
+        m.face_index, m.weight, m.depth, m.zcorn, g_rgb)
+    got = pallas_impl.backward_textures_pallas(
+        jnp.asarray(face), m.face_index, m.weight, m.depth,
+        tuple(tex.shape[1:]), is_, p.eps, zcorn=m.zcorn, grad_rgb=g_rgb)
+    scale = max(float(jnp.abs(ref).max()), 1e-9)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5 * scale)

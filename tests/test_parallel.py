@@ -105,3 +105,51 @@ class TestShardedRasterize:
         tscale = max(float(jnp.abs(gt_ref).max()), 1e-6)
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref),
                                    atol=2e-3 * tscale, rtol=2e-3)
+
+
+class TestShardedPxtBand:
+    def test_pxt_band_path_multi_device(self, rng, mesh8):
+        """The DEFAULT pxt layout's band mode (ty0/ty_band demand
+        masking + band-local assembly + psum glue) must execute under
+        shard_map (VERDICT r3 item 5: the sharded path previously
+        hardwired px_f).  128px / 16px tiles -> 8 tile rows, one per
+        device; grad_mode='topk' (K<F) runs the in-forward threshold."""
+        import os
+        from jrender_tpu.ops.softras import pallas_impl, pxg_impl
+        from jrender_tpu.parallel.render import soft_rasterize_sharded_vjp
+        is_ = 128
+        F = 40
+        assert pallas_impl.LAYOUT == 'pxt'
+        assert (is_ // pxg_impl._pxg_tile_for(is_)) % 8 == 0
+        os.environ['JR_FORCE_PALLAS_BANDS'] = '1'
+        try:
+            p = make_params(image_size=is_, sigma_val=1e-3, gamma_val=1e-3,
+                            max_faces_per_pixel_for_grad=8)
+            fv = jnp.asarray(
+                make_random_mesh(rng, num_faces=F).reshape(1, F, 9))
+            tex = jnp.asarray(
+                rng.uniform(size=(1, F, 1, 3)).astype(np.float32))
+            g = jnp.asarray(rng.randn(1, 4, is_, is_).astype(np.float32))
+
+            out_ref, ag, fid = jax_impl.soft_rasterize_fwd_jax(fv, tex, p)
+            gf_ref, gt_ref = jax_impl.soft_rasterize_bwd_jax(
+                fv, tex, out_ref, ag, fid, g, p)
+
+            def loss_sh(f, t):
+                with mesh8:
+                    out = soft_rasterize_sharded_vjp(f, t, p, mesh8)
+                return jnp.sum(out * g)
+
+            with mesh8:
+                out = soft_rasterize_sharded_vjp(fv, tex, p, mesh8)
+            assert (np.abs(np.asarray(out) - np.asarray(out_ref))
+                    > 2e-4).mean() < 0.01
+            gf, gt = jax.grad(loss_sh, argnums=(0, 1))(fv, tex)
+            scale = max(float(jnp.abs(gf_ref).max()), 1e-6)
+            assert (np.abs(np.asarray(gf) - np.asarray(gf_ref))
+                    > 2e-3 * scale).mean() < 0.08
+            tscale = max(float(jnp.abs(gt_ref).max()), 1e-6)
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref),
+                                       atol=2e-3 * tscale, rtol=2e-3)
+        finally:
+            del os.environ['JR_FORCE_PALLAS_BANDS']
