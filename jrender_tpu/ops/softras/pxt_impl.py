@@ -517,7 +517,7 @@ def _make_fwd_kernel_pxt(p: SoftRasParams, T: int, TPI: int, w_cap: int,
         if with_thr:
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, FB), 1)
 
-            def _bisect_body(lt, nr):
+            def _bisect_body(lt, nr, tslab):
                 L0 = l0_s[i * TPI + lt]
                 L1 = l1_s[i * TPI + lt]
 
@@ -526,20 +526,29 @@ def _make_fwd_kernel_pxt(p: SoftRasParams, T: int, TPI: int, w_cap: int,
                     gl = ie * FB + lane
                     return (gl >= L0) & (gl < L1)
 
-                def rowv(r):
-                    return slab[(i - nr + 1 + r) % SLAB_R]
+                # transpose the tile's candidate rows ONCE (pixels to
+                # lanes): every bisection round then counts ranks with
+                # plain sublane adds instead of a 7-step lane shuffle
+                # tree (the round-dominant cost of the previous form)
+                def put(r, _):
+                    vm = jnp.where(lane_ok(r),
+                                   slab[(i - nr + 1 + r) % SLAB_R],
+                                   THR_INT_MAX)
+                    tslab[pl.ds(r * FB, FB), :] = jax.lax.transpose(
+                        vm, (1, 0))
+                    return 0
+                jax.lax.fori_loop(0, nr, put, 0)
 
                 def mm(r, lh):
                     lo, hi = lh
-                    v = rowv(r)
-                    vm = jnp.where(lane_ok(r), v, THR_INT_MAX)
-                    lo = jnp.minimum(lo, jnp.min(vm, -1, keepdims=True))
+                    vm = tslab[pl.ds(r * FB, FB), :]          # [FB, T2]
+                    lo = jnp.minimum(lo, jnp.min(vm, 0, keepdims=True))
                     hi = jnp.maximum(
                         hi, jnp.max(jnp.where(vm == THR_INT_MAX, 0, vm),
-                                    -1, keepdims=True))
+                                    0, keepdims=True))
                     return lo, hi
-                lo0 = jnp.full((T2, 1), THR_INT_MAX, jnp.int32)
-                hi0 = jnp.zeros((T2, 1), jnp.int32)
+                lo0 = jnp.full((1, T2), THR_INT_MAX, jnp.int32)
+                hi0 = jnp.zeros((1, T2), jnp.int32)
                 lo0, hi0 = jax.lax.fori_loop(0, nr, mm, (lo0, hi0))
                 lo0 = jnp.minimum(lo0 - 1, hi0)
 
@@ -549,22 +558,20 @@ def _make_fwd_kernel_pxt(p: SoftRasParams, T: int, TPI: int, w_cap: int,
 
                 def body(lh):
                     # ternary step, both rank counts packed into ONE
-                    # f32 lane reduction: fields c1 + 4096*c2 stay
+                    # f32 sublane reduction: fields c1 + 4096*c2 stay
                     # exact (<= SLAB_R*128 per field, sum < 2^24)
                     lo, hi = lh
                     d3 = (hi - lo) // 3
-                    m1 = lo + d3                             # [T2, 1]
+                    m1 = lo + d3                             # [1, T2]
                     m2 = hi - d3
 
                     def cs(r, acc):
-                        v = rowv(r)
-                        ok = lane_ok(r)
-                        e = jnp.where(ok & (v <= m1), 1.0, 0.0) + \
-                            jnp.where(ok & (v <= m2), 4096.0, 0.0)
-                        return acc + e
-                    ev = jax.lax.fori_loop(
-                        0, nr, cs, jnp.zeros((T2, FB), jnp.float32))
-                    sgm = jnp.sum(ev, axis=-1, keepdims=True)
+                        v = tslab[pl.ds(r * FB, FB), :]
+                        e = jnp.where(v <= m1, 1.0, 0.0) + \
+                            jnp.where(v <= m2, 4096.0, 0.0)
+                        return acc + jnp.sum(e, axis=0, keepdims=True)
+                    sgm = jax.lax.fori_loop(
+                        0, nr, cs, jnp.zeros((1, T2), jnp.float32))
                     c2 = jnp.floor(sgm * (1.0 / 4096.0))
                     c1 = sgm - c2 * 4096.0
                     ge1 = c1 >= kf
@@ -577,9 +584,7 @@ def _make_fwd_kernel_pxt(p: SoftRasParams, T: int, TPI: int, w_cap: int,
                 _, hi = jax.lax.while_loop(cond, body, (lo0, hi0))
                 need = new[6, lt:lt + 1, :] > kf             # [1, T2]
                 thr = jnp.where(
-                    need,
-                    jax.lax.transpose(jax.lax.bitcast_convert_type(
-                        hi, jnp.float32), (1, 0)),
+                    need, jax.lax.bitcast_convert_type(hi, jnp.float32),
                     p.far)
                 out_ref[0, 7, lt:lt + 1, :] = thr
 
@@ -598,7 +603,7 @@ def _make_fwd_kernel_pxt(p: SoftRasParams, T: int, TPI: int, w_cap: int,
                     # compaction)
                     @pl.when(jnp.max(new[6, lt:lt + 1, :]) > kf)
                     def _run(lt=lt, nr=nr):
-                        _bisect_body(lt, nr)
+                        _bisect_body(lt, nr, scratch[1])
 
     return kernel
 
@@ -662,6 +667,7 @@ def soft_rasterize_fwd_pxt(face_vertices, textures, p: SoftRasParams,
     T = textures.shape[2] if p.texture_type_id == 0 else 3
 
     kernel = _make_fwd_kernel_pxt(p, T, TPI, w_cap, with_thr)
+    T2_ = t * t
     out_specs = [pl.BlockSpec(
         (1, FWD_CH, TPI, T2),
         lambda i, lim_s, blk_s, *s: (blk_s[i], 0, 0, 0),
@@ -669,7 +675,9 @@ def soft_rasterize_fwd_pxt(face_vertices, textures, p: SoftRasParams,
     # +1: dump block for padding items (static CPU-interpret grid only)
     out_shapes = [jax.ShapeDtypeStruct((ncb + 1, FWD_CH, TPI, T2),
                                        jnp.float32, vma=vma)]
-    scratch = [pltpu.VMEM((SLAB_R, T2, FB), jnp.int32)] if with_thr else []
+    scratch = [pltpu.VMEM((SLAB_R, T2, FB), jnp.int32),
+               pltpu.VMEM((SLAB_R * FB, T2_), jnp.int32)] if with_thr \
+        else []
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=NUM_SCALARS,
