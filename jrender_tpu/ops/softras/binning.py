@@ -263,12 +263,35 @@ def gather_work_ids(cl: CompactLists, tile, chunk, fb: int, cap: int):
     # the cond skips ~6 ms/frame of rank-select gathers in that case
     gval = jax.lax.cond(jnp.max(cl.gcount) > 0, with_glist,
                         lambda _: jnp.zeros_like(idx), 0)
-    # NOTE: keep this a per-ELEMENT gather — fb-wide slice gathers
-    # (vmapped dynamic_slice or lax.gather with slice_sizes=fb) lower to
-    # a SEQUENTIAL while loop on TPU (~95 ms for 64k rows, measured)
     ssrc = cl.starts[b, tloc][:, None] + idx - gcnt_w
-    sval = cl.faces_sorted.reshape(-1)[
-        b[:, None] * P + jnp.clip(ssrc, 0, P - 1)]
+    if fb == 8 and P % 8 == 0:
+        # a group's 8 sorted-run positions are consecutive: fetch the
+        # TWO 8-wide rows they straddle (row gathers are ~4x cheaper
+        # per byte than element gathers on TPU, measured r4) and shift-
+        # select by the 0..7 misalignment
+        fs2 = jnp.concatenate(
+            [cl.faces_sorted.reshape(B, P // 8, 8),
+             jnp.zeros((B, 1, 8), jnp.int32)], axis=1)
+        # signed floor alignment: in a mixed glist/run group the first
+        # lanes sit at NEGATIVE run positions (they take the glist
+        # branch and never read sval); floor-division keeps the live
+        # lanes' offsets right, and their row r0+1 lands on run row 0
+        s0 = ssrc[:, 0]
+        r0 = jnp.floor_divide(s0, 8)
+        off = s0 - r0 * 8
+        i0 = jnp.clip(r0, 0, P // 8)
+        i1 = jnp.clip(r0 + 1, 0, P // 8)
+        pair = jnp.concatenate([fs2[b, i0], fs2[b, i1]],
+                               axis=1)                        # [W, 16]
+        sval = jnp.zeros_like(ssrc)
+        for k in range(8):
+            sval = jnp.where((off == k)[:, None], pair[:, k:k + 8], sval)
+    else:
+        # per-ELEMENT gather — fb-wide slice gathers (vmapped
+        # dynamic_slice or lax.gather with slice_sizes=fb) lower to a
+        # SEQUENTIAL while loop on TPU (~95 ms for 64k rows, measured)
+        sval = cl.faces_sorted.reshape(-1)[
+            b[:, None] * P + jnp.clip(ssrc, 0, P - 1)]
     ids = jnp.where(in_g, gval, sval)
     return jnp.where(idx < counts_w, ids, -1)
 
