@@ -286,6 +286,19 @@ def gather_work_ids(cl: CompactLists, tile, chunk, fb: int, cap: int):
         sval = jnp.zeros_like(ssrc)
         for k in range(8):
             sval = jnp.where((off == k)[:, None], pair[:, k:k + 8], sval)
+    elif fb == 128 and P % 128 == 0:
+        fs2 = jnp.concatenate(
+            [cl.faces_sorted.reshape(B, P // 128, 128),
+             jnp.zeros((B, 1, 128), jnp.int32)], axis=1)
+        s0 = ssrc[:, 0]
+        r0 = jnp.floor_divide(s0, 128)
+        off = s0 - r0 * 128
+        i0 = jnp.clip(r0, 0, P // 128)
+        i1 = jnp.clip(r0 + 1, 0, P // 128)
+        pair = jnp.concatenate([fs2[b, i0], fs2[b, i1]], axis=1)  # [W,256]
+        sval = jnp.take_along_axis(
+            pair, off[:, None] + jnp.arange(128, dtype=jnp.int32)[None, :],
+            axis=1)
     else:
         # per-ELEMENT gather — fb-wide slice gathers (vmapped
         # dynamic_slice or lax.gather with slice_sizes=fb) lower to a

@@ -1105,9 +1105,11 @@ def _make_fwd_kernel_pf(p: SoftRasParams, T: int, F_total: int,
             out_ref[0, 0, :, 6:7] = acc_cnt[:]
 
             if with_thr:
-                # exact K-th smallest candidate depth by integer bisection
-                # with MXU-counted ranks; when a pixel has < K candidates
-                # hi stays at bits(far), which passes every valid face.
+                # exact K-th smallest candidate depth by integer
+                # bisection with MXU-counted ranks over the per-pixel
+                # [min, max] candidate-bit bounds; when a pixel has < K
+                # candidates hi converges to its max candidate bits —
+                # behaviorally equivalent (every candidate passes).
                 # Tiles where NO pixel exceeds K candidates skip the whole
                 # bisection: thr = far passes every valid face (z_valid
                 # already enforces zp <= far).

@@ -232,8 +232,12 @@ def prep_pxt(face_vertices, textures, p: SoftRasParams, ty0=None,
         off += cw
     g_face, g_inv, g_sym, g_obt, g_front, g_tex = gathered
 
-    # per-lane tile-base NDC coords (exact dyadic values, matching the
-    # oracle's (2c+1-is)/is pixel centers bit-for-bit)
+    # per-lane tile-base NDC coords.  The kernel adds 2*dx/is_ per
+    # pixel; for power-of-two image sizes both terms are exact dyadic
+    # values and match the oracle's single-expression (2c+1-is)/is
+    # centers bit-for-bit.  For non-power-of-two sizes a 1-ulp shift
+    # can flip knife-edge border/texel predicates (advisor r3) — the
+    # parity suites' boundary-fraction tolerance covers exactly this.
     tloc = raw_s - b_of * NT
     gty = (tloc // TX).astype(jnp.float32)
     gtx = (tloc - (tloc // TX) * TX).astype(jnp.float32)
