@@ -116,23 +116,34 @@ def uv_sphere(rings=RINGS, segs=SEGS, radius=0.85):
     return vs, np.asarray(fs, np.int32)
 
 
-def _probe_backend(timeout=240):
+def _probe_backend(timeout=240, tries=3, backoff=120):
     """Fail fast if the device claim would hang (e.g. TPU tunnel down).
 
-    A dead tunnel makes jax.devices() block forever with no error; probing
-    in a subprocess with a timeout turns that into a clean failure instead
-    of a silently hung benchmark run."""
+    A dead tunnel makes jax.devices() block forever with no error;
+    probing in a subprocess with a timeout turns that into a clean
+    failure.  The axon tunnel has been observed to flap mid-round, so
+    the probe retries with a backoff before giving up, and the final
+    failure is emitted as a parseable JSON row (an empty artifact tells
+    the driver nothing; an ERROR row at least tells it why)."""
     import subprocess
-    try:
-        subprocess.run([sys.executable, '-c', 'import jax; jax.devices()'],
-                       timeout=timeout, check=True,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    except subprocess.TimeoutExpired:
-        print(f'bench.py: device claim hung for {timeout}s '
-              '(TPU tunnel down?) — aborting', file=sys.stderr)
-        sys.exit(1)
-    except subprocess.CalledProcessError:
-        pass  # claim errored quickly; let the real import surface it
+    for attempt in range(tries):
+        try:
+            subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                timeout=timeout, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            return
+        except subprocess.TimeoutExpired:
+            print(f'bench.py: device claim hung for {timeout}s '
+                  f'(attempt {attempt + 1}/{tries})', file=sys.stderr)
+            if attempt + 1 < tries:
+                time.sleep(backoff)
+        except subprocess.CalledProcessError:
+            return  # claim errored quickly; let the real import surface it
+    emit({'metric': 'ERROR_TPU_TUNNEL_DOWN', 'value': 0, 'unit': 'error',
+          'note': f'device claim hung {tries}x{timeout}s; committed rows '
+                  'from this round are in BENCH_LOCAL_r4.jsonl'})
+    sys.exit(1)
 
 
 def _timed_grad_frames(grad_probe, args, n1=2, n2=12, reps=3):
