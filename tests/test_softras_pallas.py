@@ -565,3 +565,35 @@ def test_pxt_glist_parity(rng):
     assert (np.abs(gf_p - gf_j) > 2e-3 * scale).mean() < 0.02
     np.testing.assert_allclose(
         gt_p, gt_j, atol=2e-3 * max(np.abs(gt_j).max(), 1e-6))
+
+
+def test_pxt_batched_parity(rng):
+    """B=2 through the pxt layout: the per-batch padded-compact tile
+    order (prank/pad_off) and the batch-aware gradient segments must
+    match the oracle — no other test runs pxt with B > 1."""
+    F = 20
+    p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                    max_faces_per_pixel_for_grad=F)
+    fv = np.concatenate([make_random_mesh(rng, num_faces=F)
+                         for _ in range(2)], 0).reshape(2, F, 9)
+    tex = rng.uniform(size=(2, F, 4, 3)).astype(np.float32)
+    g = rng.randn(2, 4, 32, 32).astype(np.float32)
+
+    out_j, ag_j, fid_j = jax_impl.soft_rasterize_fwd_jax(
+        jnp.asarray(fv), jnp.asarray(tex), p)
+    gf_j, gt_j = jax_impl.soft_rasterize_bwd_jax(
+        jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j,
+        jnp.asarray(g), p)
+    out_p, ag_p, aux = pxt_impl.soft_rasterize_fwd_pxt(
+        jnp.asarray(fv), jnp.asarray(tex), p, False)
+    gf_p, gt_p = pxt_impl.soft_rasterize_bwd_pxt(
+        jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
+        jnp.asarray(g), p)
+    d = np.abs(np.asarray(out_p) - np.asarray(out_j))
+    assert (d > 2e-5).mean() < 0.01
+    scale = max(float(jnp.abs(gf_j).max()), 1e-6)
+    assert (np.abs(np.asarray(gf_p) - np.asarray(gf_j))
+            > 2e-3 * scale).mean() < 0.02
+    tscale = max(float(jnp.abs(gt_j).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_j),
+                               atol=2e-3 * tscale, rtol=2e-3)
