@@ -95,7 +95,6 @@ class CompactLists(NamedTuple):
     128-lane work chunk on all NT tiles whenever one face was big —
     ~40% of all kernel work on the 39k bench mesh)."""
     faces_sorted: jnp.ndarray   # [B, F*MT] i32 face ids sorted by tile
-    tiles_sorted: jnp.ndarray   # [B, F*MT] i32 tile per sorted pair (NT=pad)
     starts: jnp.ndarray         # [B, NT] i32 offset of each tile's run
     counts: jnp.ndarray         # [B, NT] i32 true per-tile counts (pre-cap)
     glist: jnp.ndarray          # [B, GBIG] i32 huge-face list
@@ -200,10 +199,10 @@ def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
         ends = jnp.searchsorted(
             tiles_s, jnp.arange(1, n_tiles + 1, dtype=jnp.int32),
             side='left').astype(jnp.int32)
-        return (faces_s, tiles_s, starts, ends - starts, glist, gcount,
+        return (faces_s, starts, ends - starts, glist, gcount,
                 gtrue - gcount)
 
-    fs, ts, st, run_cn, gl, gc, gd = jax.vmap(one)(pair_tile, pair_face, big)
+    fs, st, run_cn, gl, gc, gd = jax.vmap(one)(pair_tile, pair_face, big)
 
     # exact per-tile distribution of the glist: overlap each big face's
     # inflated-bbox tile range against the tile grid (cheap: GBIG x NT
@@ -226,7 +225,7 @@ def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
     M = M.reshape(B, CL_GBIG, TY * TX)
     gt_cum = jnp.cumsum(M.astype(jnp.int32), axis=1)              # over g
     counts = run_cn + gt_cum[:, -1, :]
-    return CompactLists(faces_sorted=fs, tiles_sorted=ts, starts=st,
+    return CompactLists(faces_sorted=fs, starts=st,
                         counts=counts, glist=gl, gcount=gc, gdrop=gd,
                         gt_cum=jnp.swapaxes(gt_cum, 1, 2))
 

@@ -65,6 +65,33 @@ FWD_CH = 8        # output channels per group (see kernel layout)
 THR_INT_MAX = 2 ** 31 - 1
 
 
+def _env_knobs():
+    """Debug/test env knobs read at TRACE time by prep/caps helpers.
+    jax.jit keys its cache on shapes + static args only, so a knob
+    change mid-process would silently reuse executables compiled with
+    the old value (advisor r4) — _knob_jit folds this tuple into the
+    cache key instead."""
+    return (os.environ.get('JR_PXT_TPI'), os.environ.get('JR_PXG_MT'),
+            os.environ.get('JR_BIN_MT'),
+            os.environ.get('JR_DYN_GRID', '1'))
+
+
+def _knob_jit(static_argnums):
+    """jax.jit whose executable cache additionally keys on _env_knobs():
+    one independent jit cache per knob combination."""
+    def deco(fn):
+        @functools.lru_cache(maxsize=None)
+        def _for_knobs(knobs):
+            return functools.partial(
+                jax.jit, static_argnums=static_argnums)(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            return _for_knobs(_env_knobs())(*args, **kwargs)
+        return wrapper
+    return deco
+
+
 def _pxg_tile_for(image_size: int) -> int:
     for t in (PXG_TILE, 16, 8):
         if t and image_size % t == 0:
@@ -117,7 +144,7 @@ def _pxg_caps(F: int, image_size: int):
     return t, cap, _wg_cap_pxg(F, NT, 1)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@_knob_jit((2,))
 def prep_pxg(face_vertices, textures, p: SoftRasParams):
     """Binning + per-lane gather shared by the pxg forward and backward.
 
@@ -646,7 +673,7 @@ def _thr_from_depths(zk, counts, cap, cnt_rows, p: SoftRasParams, NTT):
 # forward entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@_knob_jit((2, 3))
 def soft_rasterize_fwd_pxg(face_vertices, textures, p: SoftRasParams,
                            with_thr: bool = False, prep=None):
     """Returns (out [B,4,H,W], aggrs [B,2,H,W], aux [B,2,H,W]).
@@ -909,7 +936,7 @@ def _make_bwd_kernel_pxg(p: SoftRasParams, T: int, F_total: int,
 BWD_PC = 11   # out r/g/b/a | softmax sum/max | grad r/g/b/a | thr
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
+@_knob_jit((6,))
 def soft_rasterize_bwd_pxg(face_vertices, textures, soft_colors,
                            aggrs_info, aux, grad_soft_colors,
                            p: SoftRasParams, prep=None):

@@ -13,8 +13,9 @@ This layout restructures the work list so that ALL of that glue becomes
 kernel-resident state:
 
   * the padded-compact covered tiles are grouped into BLOCKS of TPI
-    consecutive tiles (TPI = 16/8/4 by mesh size, so block padding stays
-    ~1.2-1.4x); every 128-lane work item belongs to exactly ONE block.
+    consecutive tiles (TPI = 16/8/2 by mesh size — see _tpi_for — so
+    block padding stays ~1.1-1.4x); every 128-lane work item belongs to
+    exactly ONE block.
   * the forward's output BlockSpec index map (scalar-prefetched block id
     per item) REVISITS the same [TPI, T2, 8] block across the block's
     items: per-tile online-softmax merge happens in VMEM, and the
@@ -58,7 +59,8 @@ from .pallas_impl import (BIG_DEPTH, SENTINEL, _is_tpu, _pair_colors,
                           _pair_terms_kernel, _surface_tex_idx)
 from .pxg_impl import (FB, G8, GPI, HIP, THR_INT_MAX, _dot_g, _expand_mat,
                        _first_lane_extract, _group_allreduce, _group_mat,
-                       _group_prefix_prod, _lane_pos, _mt_pxg, _pxg_tile_for)
+                       _group_prefix_prod, _knob_jit, _lane_pos, _mt_pxg,
+                       _pxg_tile_for)
 
 FWD_CH = 8        # [c0,c1,c2, S|dmin, M|win, alpha, cnt, thr]
 SLAB_R = 18       # ring-slab rows: a tile spans <= cap/FB + 1 = 17 items
@@ -102,7 +104,7 @@ def _pxt_caps(F: int, image_size: int, B: int):
     return t, NT, NTP, cap, TPI, w_cap
 
 
-@functools.partial(jax.jit, static_argnums=(2, 4))
+@_knob_jit((2, 4))
 def prep_pxt(face_vertices, textures, p: SoftRasParams, ty0=None,
              ty_band: int | None = None):
     """Binning + block-aligned work-list + per-lane gather shared by the
@@ -188,6 +190,18 @@ def prep_pxt(face_vertices, textures, p: SoftRasParams, ty0=None,
     # block index changes, so routing pads back to block 0 would
     # overwrite real rows with stale buffer contents on a revisit
     blk = jnp.where(in_range_i, blk_real, ncb)
+
+    # work-item overflow (W_true > w_cap, advisor r4): blocks whose FIRST
+    # item lies past the clamped grid never execute, so their output rows
+    # are uninitialized.  Route those padded-compact j's to the drop
+    # index: the image scatter then leaves their tiles at the init vector
+    # (clean dropped-faces degradation, the reference's bin-cap contract,
+    # soft_rasterize_coarse_to_fine.py:249-258) instead of copying
+    # garbage into covered pixels.  Partially-executed blocks (first item
+    # < lim, later items clamped) are initialized by their first item and
+    # merely miss face merges — already the intended degradation.
+    j_blk = jnp.arange(NCC, dtype=jnp.int32) // TPI
+    rawj = jnp.where(item_offs[j_blk] < lim[0], rawj, BNT)
 
     # ---- per-slot tile / chunk ----------------------------------------
     cs = jnp.cumsum(ng_p.reshape(ncb, TPI), axis=1)
@@ -649,7 +663,7 @@ NUM_SCALARS = 6   # lim, blk, first, thr_nr, thr_l0, thr_l1
 # forward entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 6, 7))
+@_knob_jit((2, 3, 6, 7))
 def soft_rasterize_fwd_pxt(face_vertices, textures, p: SoftRasParams,
                            with_thr: bool = False, prep=None, ty0=None,
                            ty_band: int | None = None, vma=None):
@@ -970,7 +984,7 @@ def _make_bwd_kernel_pxt(p: SoftRasParams, T: int, F_total: int, TPI: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(6, 9, 10))
+@_knob_jit((6, 9, 10))
 def soft_rasterize_bwd_pxt(face_vertices, textures, soft_colors,
                            aggrs_info, aux, grad_soft_colors,
                            p: SoftRasParams, prep=None, ty0=None,

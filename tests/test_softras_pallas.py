@@ -597,3 +597,34 @@ def test_pxt_batched_parity(rng):
     tscale = max(float(jnp.abs(gt_j).max()), 1e-6)
     np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_j),
                                atol=2e-3 * tscale, rtol=2e-3)
+
+def test_pxt_overflow_degrades_clean(rng, monkeypatch):
+    """Work-item overflow (W_true > w_cap) must degrade to DROPPED tiles
+    (init vector / background), never to uninitialized kernel-output
+    rows scattered into covered pixels (advisor r4).  Force a tiny item
+    cap: blocks past the clamped grid never execute, and without the
+    rawj executed-mask their S=0 rows divide to inf in the softmax
+    finalize."""
+    F = 31  # unique F keeps the jit caches cold for the patched caps
+    real_caps = pxt_impl._pxt_caps
+
+    def tiny_caps(Fa, image_size, B):
+        t, NT, NTP, cap, TPI, w_cap = real_caps(Fa, image_size, B)
+        # TPI=1 -> one block per covered tile, so blocks past the item
+        # cap exist (at TPI=NT there is a single block whose first item
+        # always executes); w_cap=2 drops every block after the second
+        return t, NT, NT, cap, 1, 2
+    monkeypatch.setattr(pxt_impl, '_pxt_caps', tiny_caps)
+
+    p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                    background_color=(0.25, 0.5, 0.75))
+    fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+    tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+    out, ag, aux = pxt_impl.soft_rasterize_fwd_pxt(
+        jnp.asarray(fv), jnp.asarray(tex), p)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    # dropped tiles must sit exactly at the background init
+    bg = np.asarray([0.25, 0.5, 0.75, 0.0], np.float32)
+    is_bg = np.all(np.abs(out - bg[None, :, None, None]) < 1e-6, axis=1)
+    assert is_bg.mean() > 0.1  # the tiny cap really dropped tiles
