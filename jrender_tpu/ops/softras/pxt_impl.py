@@ -104,9 +104,9 @@ def _pxt_caps(F: int, image_size: int, B: int):
     return t, NT, NTP, cap, TPI, w_cap
 
 
-@_knob_jit((2, 4))
+@_knob_jit((2, 4, 5))
 def prep_pxt(face_vertices, textures, p: SoftRasParams, ty0=None,
-             ty_band: int | None = None):
+             ty_band: int | None = None, ty_stride: int | None = None):
     """Binning + block-aligned work-list + per-lane gather shared by the
     pxt forward and backward.
 
@@ -144,10 +144,16 @@ def prep_pxt(face_vertices, textures, p: SoftRasParams, ty0=None,
     counts = lists.counts
     if ty_band is not None:
         # pixel-band restriction (sharded rendering): zero the demand of
-        # tiles outside rows [ty0, ty0+ty_band); everything downstream
-        # (covered set, blocks, items, dynamic grid) follows
+        # tiles outside this device's band; everything downstream
+        # (covered set, blocks, items, dynamic grid) follows.
+        #   contiguous (ty_stride None): rows [ty0, ty0+ty_band)
+        #   strided: every ty_stride-th row starting at ty0 (round-robin
+        #   over devices — flattens band load imbalance, SCALING_ANALYSIS)
         tyv = (jnp.arange(BNT, dtype=jnp.int32) % NT) // TX
-        in_band = (tyv >= ty0) & (tyv < ty0 + ty_band)
+        if ty_stride is None:
+            in_band = (tyv >= ty0) & (tyv < ty0 + ty_band)
+        else:
+            in_band = (tyv % ty_stride) == ty0
         counts = jnp.where(in_band.reshape(B, NT), counts, 0)
     c = jnp.minimum(counts.reshape(-1), cap)                     # [BNT]
     ng = (c + G8 - 1) // G8
@@ -663,10 +669,11 @@ NUM_SCALARS = 6   # lim, blk, first, thr_nr, thr_l0, thr_l1
 # forward entry
 # ---------------------------------------------------------------------------
 
-@_knob_jit((2, 3, 6, 7))
+@_knob_jit((2, 3, 6, 7, 8))
 def soft_rasterize_fwd_pxt(face_vertices, textures, p: SoftRasParams,
                            with_thr: bool = False, prep=None, ty0=None,
-                           ty_band: int | None = None, vma=None):
+                           ty_band: int | None = None, vma=None,
+                           ty_stride: int | None = None):
     """Returns (out [B,4,H,W], aggrs [B,2,H,W], aux [B,2,H,W]).
 
     aux[:, 0] = per-pixel candidate count (reference q_size); aux[:, 1] =
@@ -681,7 +688,7 @@ def soft_rasterize_fwd_pxt(face_vertices, textures, p: SoftRasParams,
     ncb = NCC // TPI
 
     if prep is None:
-        prep = prep_pxt(face_vertices, textures, p, ty0, ty_band)
+        prep = prep_pxt(face_vertices, textures, p, ty0, ty_band, ty_stride)
     T = textures.shape[2] if p.texture_type_id == 0 else 3
 
     kernel = _make_fwd_kernel_pxt(p, T, TPI, w_cap, with_thr)
@@ -732,11 +739,21 @@ def soft_rasterize_fwd_pxt(face_vertices, textures, p: SoftRasParams,
     counts = prep['counts']
     if ty_band is not None:
         # band-local outputs: slice the band's tile rows before assembly
-        raw = jax.lax.dynamic_slice_in_dim(
-            raw.reshape(B, NT, T2, FWD_CH), ty0 * TX, ty_band * TX,
-            axis=1).reshape(B * ty_band * TX, T2, FWD_CH)
-        counts = jax.lax.dynamic_slice_in_dim(counts, ty0 * TX,
-                                              ty_band * TX, axis=1)
+        # (strided: gather rows ty0, ty0+stride, ... — the band image
+        # stacks them in that order; parallel.render re-interleaves)
+        if ty_stride is None:
+            raw = jax.lax.dynamic_slice_in_dim(
+                raw.reshape(B, NT, T2, FWD_CH), ty0 * TX, ty_band * TX,
+                axis=1).reshape(B * ty_band * TX, T2, FWD_CH)
+            counts = jax.lax.dynamic_slice_in_dim(counts, ty0 * TX,
+                                                  ty_band * TX, axis=1)
+        else:
+            ridx = ty0 + ty_stride * jnp.arange(ty_band, dtype=jnp.int32)
+            fidx = (ridx[:, None] * TX
+                    + jnp.arange(TX, dtype=jnp.int32)[None, :]).reshape(-1)
+            raw = jnp.take(raw.reshape(B, NT, T2, FWD_CH), fidx,
+                           axis=1).reshape(B * ty_band * TX, T2, FWD_CH)
+            counts = jnp.take(counts, fidx, axis=1)
         TY = ty_band
         BNT = B * ty_band * TX
     cnt_t = raw[..., 6]
@@ -984,11 +1001,12 @@ def _make_bwd_kernel_pxt(p: SoftRasParams, T: int, F_total: int, TPI: int,
     return kernel
 
 
-@_knob_jit((6, 9, 10))
+@_knob_jit((6, 9, 10, 11))
 def soft_rasterize_bwd_pxt(face_vertices, textures, soft_colors,
                            aggrs_info, aux, grad_soft_colors,
                            p: SoftRasParams, prep=None, ty0=None,
-                           ty_band: int | None = None, vma=None):
+                           ty_band: int | None = None, vma=None,
+                           ty_stride: int | None = None):
     B, F = face_vertices.shape[:2]
     is_ = p.image_size
     t, NT, NTP, cap, TPI, w_cap = _pxt_caps(F, is_, B)
@@ -999,7 +1017,7 @@ def soft_rasterize_bwd_pxt(face_vertices, textures, soft_colors,
     ncb = NCC // TPI
 
     if prep is None:
-        prep = prep_pxt(face_vertices, textures, p, ty0, ty_band)
+        prep = prep_pxt(face_vertices, textures, p, ty0, ty_band, ty_stride)
     T = textures.shape[2] if p.texture_type_id == 0 else 3
     use_thr = p.grad_mode == 'topk' and p.max_faces_id < F
 
@@ -1016,9 +1034,14 @@ def soft_rasterize_bwd_pxt(face_vertices, textures, soft_colors,
     rawj = prep['rawj']
     if ty_band is not None:
         b_of_j = jnp.minimum(rawj // NT, B - 1)
-        rawj = jnp.where(rawj < BNT,
-                         b_of_j * NTv + (rawj - b_of_j * NT - ty0 * TX),
-                         B * NTv)
+        tloc = rawj - b_of_j * NT
+        if ty_stride is None:
+            local = tloc - ty0 * TX
+        else:
+            # band-local row k of tile-row ty = (ty - ty0)/stride == ty//s
+            tyv = tloc // TX
+            local = (tyv // ty_stride) * TX + (tloc - tyv * TX)
+        rawj = jnp.where(rawj < BNT, b_of_j * NTv + local, B * NTv)
     rawj_safe = jnp.clip(rawj, 0, B * NTv - 1)
     px_hbm = px_rows[rawj_safe].reshape(ncb, TPI, T2, BWD_PC) \
         .transpose(0, 2, 3, 1).reshape(ncb, T2, BWD_PC * TPI)

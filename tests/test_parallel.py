@@ -153,3 +153,41 @@ class TestShardedPxtBand:
                                        atol=2e-3 * tscale, rtol=2e-3)
         finally:
             del os.environ['JR_FORCE_PALLAS_BANDS']
+
+    def test_pxt_stride_equals_contig(self, rng, mesh8):
+        """band_mode='stride' (round-robin tile rows, the default) must
+        return the SAME image and gradients as the round-4 contiguous
+        bands — the wrapper re-interleaves the strided device bands
+        (VERDICT r4 item 5: striding flattens band load imbalance)."""
+        import os
+        is_, F = 128, 37
+        os.environ['JR_FORCE_PALLAS_BANDS'] = '1'
+        try:
+            p = make_params(image_size=is_, sigma_val=1e-3, gamma_val=1e-3,
+                            max_faces_per_pixel_for_grad=8)
+            fv = jnp.asarray(
+                make_random_mesh(rng, num_faces=F).reshape(1, F, 9))
+            tex = jnp.asarray(
+                rng.uniform(size=(1, F, 1, 3)).astype(np.float32))
+            g = jnp.asarray(rng.randn(1, 4, is_, is_).astype(np.float32))
+
+            def loss(mode):
+                def f(fv_, tex_):
+                    with mesh8:
+                        out = soft_rasterize_sharded_vjp(
+                            fv_, tex_, p, mesh8, band_mode=mode)
+                    return jnp.sum(out * g), out
+                (l, out), grads = jax.value_and_grad(
+                    f, argnums=(0, 1), has_aux=True)(fv, tex)
+                return out, grads
+
+            out_s, (gf_s, gt_s) = loss('stride')
+            out_c, (gf_c, gt_c) = loss('contig')
+            np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_c),
+                                       atol=1e-6, rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(gf_s), np.asarray(gf_c),
+                                       atol=1e-5, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(gt_s), np.asarray(gt_c),
+                                       atol=1e-5, rtol=1e-5)
+        finally:
+            del os.environ['JR_FORCE_PALLAS_BANDS']
