@@ -47,16 +47,21 @@ def _soft_rasterize_core(face_vertices, textures, p: SoftRasParams, backend: str
 
 
 def _pallas_route(p: SoftRasParams, F: int, for_grad: bool = True) -> str:
-    """'pxt' | 'pxg' | 'px_f' | 'f_px' | 'jax'.  pxt (tile-block-aligned
-    work items with kernel-resident combine, pxt_impl.py) is the fast
-    default; pxg is its predecessor (XLA segment combine); px_f is the
+    """'dir' | 'pxt' | 'pxg' | 'px_f' | 'f_px' | 'jax'.  dir (binning-
+    free, whole face table VMEM-resident, dir_impl.py) serves small
+    meshes (F <= JR_DIR_MAX); pxt (tile-block-aligned work items with
+    kernel-resident combine, pxt_impl.py) is the fast default above
+    that; pxg is its predecessor (XLA segment combine); px_f is the
     per-tile-chunk layout kept for pixel-band sharding; f_px the legacy
-    wide-tile layout.  The pxt/pxg/px_f kernels implement the reference
-    top-K gradient truncation (threshold pass); f_px does not, so for
-    non-tileable image sizes a *binding* grad_mode='topk' (F > K) is
-    honestly dispatched to the oracle instead of silently dropping the
-    policy."""
-    from . import pallas_impl, pxg_impl
+    wide-tile layout.  The dir/pxt/pxg/px_f kernels implement the
+    reference top-K gradient truncation (threshold pass); f_px does
+    not, so for non-tileable image sizes a *binding* grad_mode='topk'
+    (F > K) is honestly dispatched to the oracle instead of silently
+    dropping the policy."""
+    from . import dir_impl, pallas_impl, pxg_impl
+    if pallas_impl.LAYOUT == 'pxt' and F <= dir_impl.dir_max_faces() \
+            and dir_impl._dir_tile(p.image_size):
+        return 'dir'
     if pallas_impl.LAYOUT == 'pxt' and pxg_impl._pxg_tile_for(p.image_size):
         return 'pxt'
     if pallas_impl.LAYOUT in ('pxt', 'pxg') and \
@@ -75,6 +80,12 @@ def _forward(face_vertices, textures, p: SoftRasParams, backend: str,
     if backend == 'pallas':
         from . import pallas_impl
         route = _pallas_route(p, face_vertices.shape[1], for_grad)
+        if route == 'dir':
+            from . import dir_impl
+            with_thr = (for_grad and p.grad_mode == 'topk'
+                        and p.max_faces_id < face_vertices.shape[1])
+            return dir_impl.soft_rasterize_fwd_dir(
+                face_vertices, textures, p, with_thr)
         if route == 'pxt':
             from . import pxt_impl
             with_thr = (for_grad and p.grad_mode == 'topk'
@@ -105,6 +116,10 @@ def _backward(face_vertices, textures, soft_colors, aggrs, faces_id, g,
     if backend == 'pallas':
         from . import pallas_impl
         route = _pallas_route(p, face_vertices.shape[1])
+        if route == 'dir':
+            from . import dir_impl
+            return dir_impl.soft_rasterize_bwd_dir(
+                face_vertices, textures, soft_colors, aggrs, faces_id, g, p)
         if route == 'pxt':
             from . import pxt_impl
             return pxt_impl.soft_rasterize_bwd_pxt(
@@ -127,6 +142,16 @@ def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
     if backend == 'pallas':
         from . import pallas_impl
         route = _pallas_route(p, face_vertices.shape[1], True)
+        if route == 'dir':
+            # share the face-table prep between fwd and bwd (residual)
+            from . import dir_impl
+            with_thr = (p.grad_mode == 'topk'
+                        and p.max_faces_id < face_vertices.shape[1])
+            prep = dir_impl.prep_dir(face_vertices, textures, p)
+            out, aggrs, aux = dir_impl.soft_rasterize_fwd_dir(
+                face_vertices, textures, p, with_thr, prep=prep)
+            return out, (face_vertices, textures, out, aggrs, aux,
+                         None, None, None, prep)
         if route == 'pxt':
             # share the binning/gather prep between fwd and bwd (residual)
             from . import pxt_impl
@@ -136,7 +161,7 @@ def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
             out, aggrs, aux = pxt_impl.soft_rasterize_fwd_pxt(
                 face_vertices, textures, p, with_thr, prep=prep)
             return out, (face_vertices, textures, out, aggrs, aux,
-                         None, None, prep)
+                         None, None, prep, None)
         if route == 'pxg':
             # share the binning/gather prep between fwd and bwd (residual)
             from . import pxg_impl
@@ -146,7 +171,7 @@ def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
             out, aggrs, aux = pxg_impl.soft_rasterize_fwd_pxg(
                 face_vertices, textures, p, with_thr, prep=prep)
             return out, (face_vertices, textures, out, aggrs, aux,
-                         None, prep, None)
+                         None, prep, None, None)
         if route == 'px_f':
             # share the binning/gather prep between fwd and bwd: it is a
             # pure function of (face_vertices, textures) and costs a sort
@@ -157,16 +182,21 @@ def _core_fwd(face_vertices, textures, p: SoftRasParams, backend: str):
             out, aggrs, aux = pallas_impl.soft_rasterize_fwd_pallas_pf(
                 face_vertices, textures, p, with_thr, prep=prep)
             return out, (face_vertices, textures, out, aggrs, aux, prep,
-                         None, None)
+                         None, None, None)
     out, aggrs, faces_id = _forward(face_vertices, textures, p, backend,
                                     for_grad=True)
     return out, (face_vertices, textures, out, aggrs, faces_id, None, None,
-                 None)
+                 None, None)
 
 
 def _core_bwd(p: SoftRasParams, backend: str, res, g):
     (face_vertices, textures, out, aggrs, faces_id, prep_pf, prep_pxg,
-     prep_pxt) = res
+     prep_pxt, prep_dir) = res
+    if prep_dir is not None:
+        from . import dir_impl
+        return dir_impl.soft_rasterize_bwd_dir(
+            face_vertices, textures, out, aggrs, faces_id, g, p,
+            prep=prep_dir)
     if prep_pxt is not None:
         from . import pxt_impl
         return pxt_impl.soft_rasterize_bwd_pxt(

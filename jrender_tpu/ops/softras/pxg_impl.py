@@ -72,8 +72,8 @@ def _env_knobs():
     the old value (advisor r4) — _knob_jit folds this tuple into the
     cache key instead."""
     return (os.environ.get('JR_PXT_TPI'), os.environ.get('JR_PXG_MT'),
-            os.environ.get('JR_BIN_MT'),
-            os.environ.get('JR_DYN_GRID', '1'))
+            os.environ.get('JR_BIN_MT'), os.environ.get('JR_DYN_GRID', '1'),
+            os.environ.get('JR_DIR_MAX'), os.environ.get('JR_DIR_TILE'))
 
 
 def _knob_jit(static_argnums):

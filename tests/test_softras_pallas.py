@@ -368,7 +368,11 @@ class TestTopKTruncation:
                              grad_mode='full')
         assert api._pallas_route(p_full, F) == 'f_px'
         p_ok = make_params(image_size=32, max_faces_per_pixel_for_grad=K)
-        assert api._pallas_route(p_ok, F) == 'pxt'
+        # small meshes ride the binning-free direct layout; above the
+        # dir cap the tiled pxt work-list layout takes over
+        assert api._pallas_route(p_ok, F) == 'dir'
+        from jrender_tpu.ops.softras import dir_impl
+        assert api._pallas_route(p_ok, dir_impl.dir_max_faces() + 1) == 'pxt'
 
 
 def test_custom_vjp_pallas_backend(rng):
@@ -628,3 +632,97 @@ def test_pxt_overflow_degrades_clean(rng, monkeypatch):
     bg = np.asarray([0.25, 0.5, 0.75, 0.0], np.float32)
     is_bg = np.all(np.abs(out - bg[None, :, None, None]) < 1e-6, axis=1)
     assert is_bg.mean() > 0.1  # the tiny cap really dropped tiles
+
+class TestDirParity(TestPxgParity):
+    """Binning-free direct layout (dir_impl.py, small meshes) vs the jnp
+    oracle — inherits the full px_f/pxg sweep, exercising the resident
+    face table, per-chunk bbox culling, register-carried tile
+    aggregation, the in-step top-K bisect, and the resident-gradient
+    backward."""
+
+    def _run_pf(self, fv, tex, p):
+        from jrender_tpu.ops.softras import dir_impl
+        out_j, ag_j, _ = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        out_p, ag_p, aux = dir_impl.soft_rasterize_fwd_dir(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        return (np.asarray(out_j), np.asarray(out_p), np.asarray(ag_j),
+                np.asarray(ag_p), aux)
+
+    def _grads_both_pf(self, fv, tex, p, rng, is_=32):
+        from jrender_tpu.ops.softras import dir_impl
+        g = rng.randn(1, 4, is_, is_).astype(np.float32)
+        out_j, ag_j, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        gf_j, gt_j = jax_impl.soft_rasterize_bwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j,
+            jnp.asarray(g), p)
+        with_thr = p.grad_mode == 'topk' and p.max_faces_id < fv.shape[1]
+        out_p, ag_p, aux = dir_impl.soft_rasterize_fwd_dir(
+            jnp.asarray(fv), jnp.asarray(tex), p, with_thr)
+        gf_p, gt_p = dir_impl.soft_rasterize_bwd_dir(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
+            jnp.asarray(g), p)
+        return map(np.asarray, (gf_j, gt_j, gf_p, gt_p))
+
+    def test_candidate_count_matches_oracle(self, rng):
+        from jrender_tpu.ops.softras import dir_impl
+        F = 24
+        p = make_params(image_size=32, sigma_val=1e-3,
+                        max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        _, _, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        _, _, aux = dir_impl.soft_rasterize_fwd_dir(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        np.testing.assert_array_equal(np.asarray(aux[0, 0]),
+                                      np.asarray((fid_j[0] >= 0).sum(0)))
+
+    def test_multi_chunk_batched(self, rng):
+        """F=150 at B=2: two 128-lane chunks with a real lane-padding
+        tail, per-batch face tables, and batched gradient blocks."""
+        from jrender_tpu.ops.softras import dir_impl
+        F = 150
+        p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                        max_faces_per_pixel_for_grad=F)
+        fv = np.concatenate([make_random_mesh(rng, num_faces=F)
+                             for _ in range(2)], 0).reshape(2, F, 9)
+        tex = rng.uniform(size=(2, F, 4, 3)).astype(np.float32)
+        g = rng.randn(2, 4, 32, 32).astype(np.float32)
+        out_j, ag_j, fid_j = jax_impl.soft_rasterize_fwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        gf_j, gt_j = jax_impl.soft_rasterize_bwd_jax(
+            jnp.asarray(fv), jnp.asarray(tex), out_j, ag_j, fid_j,
+            jnp.asarray(g), p)
+        out_p, ag_p, aux = dir_impl.soft_rasterize_fwd_dir(
+            jnp.asarray(fv), jnp.asarray(tex), p)
+        gf_p, gt_p = dir_impl.soft_rasterize_bwd_dir(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
+            jnp.asarray(g), p)
+        d = np.abs(np.asarray(out_p) - np.asarray(out_j))
+        assert (d > 2e-5).mean() < 0.01
+        scale = max(float(jnp.abs(gf_j).max()), 1e-6)
+        assert (np.abs(np.asarray(gf_p) - np.asarray(gf_j))
+                > 2e-3 * scale).mean() < 0.02
+        tscale = max(float(jnp.abs(gt_j).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_j),
+                                   atol=2e-3 * tscale, rtol=2e-3)
+
+
+class TestTopKTruncationDir(TestTopKTruncation):
+    """Same top-K truncation semantics through the dir layout (threshold
+    bisected in-step from the per-tile candidate-depth scratch)."""
+
+    def _pf_grads(self, p, fv, tex, g):
+        from jrender_tpu.ops.softras import dir_impl
+        with_thr = p.grad_mode == 'topk' and p.max_faces_id < fv.shape[1]
+        out_p, ag_p, aux = dir_impl.soft_rasterize_fwd_dir(
+            jnp.asarray(fv), jnp.asarray(tex), p, with_thr)
+        assert float(aux[:, 0].max()) > p.max_faces_id  # truncation binds
+        return map(np.asarray, dir_impl.soft_rasterize_bwd_dir(
+            jnp.asarray(fv), jnp.asarray(tex), out_p, ag_p, aux,
+            jnp.asarray(g), p))
+
+    def test_api_topk_dispatch_non_tileable(self):
+        pass  # covered by the base class (route logic is layout-global)
