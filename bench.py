@@ -223,12 +223,21 @@ def softras_row(name, rings, segs, baseline):
     return row
 
 
-# reference README.md:78-84 — NMR fwd+bwd rows (same meshes)
+# reference README.md:78-84 — NMR fwd+bwd rows (same meshes).
+# COMPARABILITY (r4 verdict #4): the reference's rasterize defaults to
+# anti_aliasing=True (n3mr/n3mr.py:7), which renders internally at
+# 2048^2 and mean-pools; its README does not state which setting the
+# table used.  We report BOTH: the plain rows time AA=False at 1024^2
+# (1x pixels — the conservative reading if the reference table was
+# AA=False), and the *_aa rows time AA=True (4x pixels — the
+# conservative reading if the table used the library default).  A row
+# is only claimed as beating the reference if it holds under its own
+# reading; STATUS.md carries the same caveat.
 N3MR_ROWS = [('large', RINGS, SEGS, 114.7), ('middle', 38, 45, 95.7),
              ('small', 13, 12, 32.1)]
 
 
-def n3mr_row(name, rings, segs, baseline):
+def n3mr_row(name, rings, segs, baseline, aa=False):
     import jax
     import jax.numpy as jnp
     from jrender_tpu.transform import look_at, perspective
@@ -245,7 +254,7 @@ def n3mr_row(name, rings, segs, baseline):
 
     def one(x, t):
         img = rasterize(x.reshape(1, F, 3, 3), t,
-                        image_size=IMAGE_SIZE, anti_aliasing=False)
+                        image_size=IMAGE_SIZE, anti_aliasing=aa)
         return jnp.sum(img)
 
     grad_fn = jax.grad(one, argnums=(0, 1))
@@ -256,7 +265,8 @@ def n3mr_row(name, rings, segs, baseline):
 
     best = _timed_grad_frames(probe, (fv, tex))
     return {
-        'metric': f'n3mr_fwd_bwd_{IMAGE_SIZE}px_{F}faces',
+        'metric': f'n3mr_fwd_bwd_{IMAGE_SIZE}px_{F}faces'
+                  + ('_aa' if aa else ''),
         'value': round(best, 2),
         'unit': 'ms/frame',
         'vs_baseline': round(baseline / best, 3),
@@ -295,7 +305,20 @@ def nerf_rows():
     scan_train = make_scan_train(step_fn, args.steps_per_dispatch)
 
     key = jax.random.PRNGKey(0)
-    images = jax.random.uniform(key, (1, H, W, 3), jnp.float32)
+    # deterministic LEARNABLE target (r4 verdict: the old random-noise
+    # image gave throughput but could never show learning): a smooth
+    # color field + two discs.  No real scene ships with the reference
+    # (configs point at ./data/nerf_synthetic, absent), so the PSNR row
+    # below is the committed-synthetic alternative — PSNR must RISE.
+    yy, xx = np.meshgrid(np.linspace(0, 1, H), np.linspace(0, 1, W),
+                         indexing='ij')
+    img = np.stack([xx, yy, 0.5 + 0.5 * np.sin(6 * xx) * np.cos(4 * yy)],
+                   -1)
+    for (cy, cx, rad, ch) in ((0.35, 0.6, 0.18, 0), (0.7, 0.3, 0.12, 2)):
+        m = (yy - cy) ** 2 + (xx - cx) ** 2 < rad ** 2
+        img[m, ch] = 0.9
+        img[m, (ch + 1) % 3] = 0.1
+    images = jnp.asarray(img, jnp.float32)[None]
     poses = jnp.eye(4, dtype=jnp.float32)[None, :3, :4].at[:, 2, 3].set(-4.0)
     img_idx = jnp.zeros((args.steps_per_dispatch,), jnp.int32)
 
@@ -304,14 +327,22 @@ def nerf_rows():
         params, opt_state, losses, psnrs = scan_train(
             params, opt_state, images, poses, img_idx, it, key)
         jax.block_until_ready(losses)
-        return losses
+        return losses, psnrs
 
-    run(0)  # compile
+    _, psnr0 = run(0)  # compile
     best = np.inf
+    steps_done = args.steps_per_dispatch
+    psnr_last = psnr0
     for r in range(3):
         t0 = time.time()
-        run((r + 1) * args.steps_per_dispatch)
+        _, psnr_last = run(steps_done)
+        steps_done += args.steps_per_dispatch
         best = min(best, (time.time() - t0) / args.steps_per_dispatch * 1e3)
+    # learning evidence: ~10 more dispatches, PSNR on the committed
+    # synthetic target must rise over the run (~2 s at 30 ms/step)
+    for _ in range(10):
+        _, psnr_last = run(steps_done)
+        steps_done += args.steps_per_dispatch
     return [{
         'metric': 'nerf_lego_train_step',
         'value': round(best, 2),
@@ -320,6 +351,14 @@ def nerf_rows():
         'metric': 'nerf_lego_rays_per_s',
         'value': round(args.N_rand / best * 1e3),
         'unit': 'rays/s',
+    }, {
+        'metric': 'nerf_synthetic_psnr_trajectory',
+        'value': round(float(np.asarray(psnr_last)[-1]), 2),
+        'unit': 'dB',
+        'start_db': round(float(np.asarray(psnr0)[0]), 2),
+        'steps': int(steps_done),
+        'learned': bool(float(np.asarray(psnr_last)[-1])
+                        > float(np.asarray(psnr0)[0]) + 3.0),
     }]
 
 
@@ -359,6 +398,10 @@ def main():
         for name, rings, segs, baseline in N3MR_ROWS:
             try_row(f'n3mr_{name}', n3mr_row, name, rings, segs, baseline,
                     min_budget=120.0)
+        # AA=True variants (reference library default; see N3MR_ROWS note)
+        for name, rings, segs, baseline in N3MR_ROWS:
+            try_row(f'n3mr_{name}_aa', n3mr_row, name, rings, segs,
+                    baseline, True, min_budget=180.0)
     if os.environ.get('JR_BENCH_NERF', '1') == '1':
         try_row('nerf', nerf_rows, min_budget=240.0)
 

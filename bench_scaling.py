@@ -122,9 +122,17 @@ def main():
             results[f'nerf_rays_per_s_{n}dev'] / (base_ray * n / sizes[0])
 
     out = {k: round(float(v), 2) for k, v in results.items()}
-    print(json.dumps(out))
     import os
     plat = 'cpu' if args.cpu else jax.devices()[0].platform
+    if plat == 'cpu':
+        out['_caveat'] = (
+            'virtual CPU mesh on shared host cores: STRUCTURAL validation '
+            'only (the shard_map/psum paths compile and run multi-device). '
+            'The efficiency rows measure host-core contention, not ICI — '
+            'e.g. all 8 virtual devices share ~4 cores, so 8dev "efficiency" '
+            'is bounded near 1/n regardless of communication cost.  Real '
+            'scaling projections: docs/SCALING_ANALYSIS.md.')
+    print(json.dumps(out))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            f'SCALING_{plat}.json'), 'w') as f:
         json.dump(out, f, indent=1)

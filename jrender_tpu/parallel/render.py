@@ -165,8 +165,12 @@ def soft_rasterize_sharded_vjp(face_vertices, textures, p: SoftRasParams,
             # check_vma=False: the band restriction slices replicated
             # tile tables with the device-varying ty0 — a mixed-vma
             # dynamic_slice the checker cannot type yet (JAX suggests
-            # exactly this workaround in its error).  The oracle paths
-            # below run with the checker ON.
+            # exactly this workaround in its error).  Re-tested on jax
+            # 0.9.0 (r5): with vma threaded into the pallas out_shapes
+            # the checker still rejects the dynamic_slice itself
+            # ("varying manual axes must match ... open an issue /
+            # pass check_vma=False").  The oracle paths below run with
+            # the checker ON.
             @functools.partial(
                 shard_map, mesh=mesh, in_specs=(P(), P()),
                 out_specs=(P(None, None, axis), (P(None, None, axis),
