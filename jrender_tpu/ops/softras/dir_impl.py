@@ -82,14 +82,32 @@ def _dir_caps(F: int, image_size: int):
     return t, NT, Fp
 
 
+def _morton16(qx, qy):
+    """Interleave two 4-bit coords -> 8-bit Morton code (i32 arrays)."""
+    code = jnp.zeros_like(qx)
+    for b in range(4):
+        code = code | (((qx >> b) & 1) << (2 * b)) \
+                    | (((qy >> b) & 1) << (2 * b + 1))
+    return code
+
+
 @_knob_jit((2,))
 def prep_dir(face_vertices, textures, p: SoftRasParams):
-    """Face table + bbox rows, channel-major (F on lanes).
+    """Face table + bbox rows, channel-major (F on lanes), with faces
+    MORTON-ORDERED by bbox center (JR_DIR_SORT=0 disables): the chunk
+    cull is 128-face granular, so clustering spatially-close faces into
+    the same chunk cuts the taken-chunks-per-tile count (~2x fewer pair
+    evaluations on the bench meshes).  Original face ids ride along as
+    a table channel, so the hard-mode winner id / lowest-index
+    tie-break and the reported aggrs stay identical to the oracle; the
+    backward un-permutes the gradient block before returning.
 
     Returns dict:
-      tab   [B, CT, Fp] f32  face(9)+inv(9)+sym(9)+obt(3)+front(1)+tex(T*3)
+      tab   [B, CT, Fp] f32  face(9)+inv(9)+sym(9)+obt(3)+front(1)
+                             +origid(1)+tex(T*3), Morton order
       bbox  [B, 4, Fp]  f32  xmin/xmax/ymin/ymax inflated by sqrt(thr)
                              (empty/padding faces carry an off-screen box)
+      inv   [B, Fp]     i32  original face id -> table position
     """
     B, F = face_vertices.shape[:2]
     face = face_vertices.reshape(B, F, 9)
@@ -97,17 +115,37 @@ def prep_dir(face_vertices, textures, p: SoftRasParams):
     tex = textures.reshape(B, F, T * 3)
     _, _, Fp = _dir_caps(F, p.image_size)
 
-    face_inv, face_sym, face_obt = G.face_info_preprocess(face)
-    front = G.check_face_frontside(face).astype(jnp.float32)[..., None]
-
     sq = math.sqrt(p.threshold)
     xs = face[..., 0::3]
     ys = face[..., 1::3]
     bbox = jnp.stack([jnp.min(xs, -1) - sq, jnp.max(xs, -1) + sq,
                       jnp.min(ys, -1) - sq, jnp.max(ys, -1) + sq], axis=2)
 
-    fused = jnp.concatenate([face, face_inv, face_sym, face_obt, front, tex],
-                            axis=2)
+    if os.environ.get('JR_DIR_SORT', '1') == '1' and F > FB:
+        cx = (bbox[..., 0] + bbox[..., 1]) * 0.5       # [B, F] in ~[-1,1]
+        cy = (bbox[..., 2] + bbox[..., 3]) * 0.5
+        qx = jnp.clip(((cx + 1.0) * 8.0), 0, 15).astype(jnp.int32)
+        qy = jnp.clip(((cy + 1.0) * 8.0), 0, 15).astype(jnp.int32)
+        # stable fused key keeps equal-cell faces in index order
+        key = _morton16(qx, qy) * (1 << (F + 1).bit_length()) \
+            + jnp.arange(F, dtype=jnp.int32)[None, :]
+        order = jnp.argsort(key, axis=1)               # [B, F]
+    else:
+        order = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :],
+                                 (B, F))
+
+    def g2(a):
+        return jnp.take_along_axis(a, order[..., None], axis=1)
+    face = g2(face)
+    tex = g2(tex)
+    bbox = g2(bbox)
+
+    face_inv, face_sym, face_obt = G.face_info_preprocess(face)
+    front = G.check_face_frontside(face).astype(jnp.float32)[..., None]
+    origid = order.astype(jnp.float32)[..., None]
+
+    fused = jnp.concatenate([face, face_inv, face_sym, face_obt, front,
+                             origid, tex], axis=2)
     pad = Fp - F
     if pad:
         # padding lanes replicate the LAST face's rows (benign finite
@@ -120,7 +158,12 @@ def prep_dir(face_vertices, textures, p: SoftRasParams):
                        constant_values=4.0)   # off-screen -> never overlaps
         bbox = bbox.at[:, F:, 1].set(3.0)     # keep xmin > xmax degenerate
         bbox = bbox.at[:, F:, 3].set(3.0)
-    return dict(tab=jnp.swapaxes(fused, 1, 2), bbox=jnp.swapaxes(bbox, 1, 2))
+    inv = jnp.zeros((B, Fp), jnp.int32).at[
+        jnp.arange(B)[:, None], order].set(
+            jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :],
+                             (B, F)))
+    return dict(tab=jnp.swapaxes(fused, 1, 2), bbox=jnp.swapaxes(bbox, 1, 2),
+                inv=inv)
 
 
 def _chunk_overlap(bbox_c, x0, x1, y0, y1):
@@ -149,7 +192,6 @@ def _make_fwd_kernel_dir(p: SoftRasParams, T: int, F: int, Fp: int,
     TX = is_ // t
     NCH = Fp // FB
     kf = float(p.max_faces_id)
-    CT = 31 + T * 3
 
     def pair_chunk(tab_c, xp, yp, need_inside):
         face = tab_c[0:9]
@@ -157,11 +199,11 @@ def _make_fwd_kernel_dir(p: SoftRasParams, T: int, F: int, Fp: int,
         sym = tab_c[18:27]
         obt = tab_c[27:30]
         front = tab_c[30:31]
-        tex = tab_c[31:31 + T * 3]
+        tex = tab_c[32:32 + T * 3]
         terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p,
                                    layout='pxg', for_grad=False,
                                    need_inside=need_inside)
-        return terms, front, tex
+        return terms, front, tab_c[31:32], tex
 
     def kernel(tab_ref, bbox_ref, out_ref, *scratch):
         j = pl.program_id(1)
@@ -194,7 +236,7 @@ def _make_fwd_kernel_dir(p: SoftRasParams, T: int, F: int, Fp: int,
 
         def merge_chunk(c, carry):
             tab_c = tab_ref[0, :, pl.ds(c * FB, FB)]
-            terms, front, tex = pair_chunk(
+            terms, front, origid, tex = pair_chunk(
                 tab_c, xp, yp, need_inside=(p.rgb_func_id == 0))
             sf = terms['sf']
             zp = terms['zp']
@@ -252,7 +294,7 @@ def _make_fwd_kernel_dir(p: SoftRasParams, T: int, F: int, Fp: int,
                     else (cand & inside & side_ok)
                 zkey = jnp.where(hard_valid, zp, BIG_DEPTH)
                 dmin_c = jnp.min(zkey, axis=1, keepdims=True)
-                fidf = (c * FB + lane).astype(jnp.float32)
+                fidf = origid                       # ORIGINAL face ids
                 tied = (zkey == dmin_c) & hard_valid
                 idk = jnp.where(tied, fidf, jnp.float32(2 ** 30))
                 id_c = jnp.min(idk, axis=1, keepdims=True)
@@ -357,7 +399,7 @@ def soft_rasterize_fwd_dir(face_vertices, textures, p: SoftRasParams,
     if prep is None:
         prep = prep_dir(face_vertices, textures, p)
     T = textures.shape[2] if p.texture_type_id == 0 else 3
-    CT = 31 + T * 3
+    CT = 32 + T * 3
 
     kernel = _make_fwd_kernel_dir(p, T, F, Fp, with_thr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -467,7 +509,7 @@ def _make_bwd_kernel_dir(p: SoftRasParams, T: int, F: int, Fp: int,
             inv = tab_c[9:18]
             sym = tab_c[18:27]
             obt = tab_c[27:30]
-            tex = tab_c[31:31 + T * 3]
+            tex = tab_c[32:32 + T * 3]
             terms = _pair_terms_kernel(face, inv, sym, obt, xp, yp, p,
                                        layout='pxg', need_inside=False)
             sf_fwd = terms['sf']
@@ -537,7 +579,7 @@ def _make_bwd_kernel_dir(p: SoftRasParams, T: int, F: int, Fp: int,
                 tex_coef = None if p.texture_type_id == 0 else zp_softmax
             elif p.rgb_func_id == 0:
                 fidx_min = pxe(5)
-                fidf = (c * FB + lane).astype(jnp.float32)
+                fidf = tab_c[31:32]                 # ORIGINAL face ids
                 is_win = vf * (jnp.abs(fidf - fidx_min) < 0.5)
                 tex_coef = is_win
             else:
@@ -635,7 +677,7 @@ def soft_rasterize_bwd_dir(face_vertices, textures, soft_colors,
     if prep is None:
         prep = prep_dir(face_vertices, textures, p)
     T = textures.shape[2] if p.texture_type_id == 0 else 3
-    CT = 31 + T * 3
+    CT = 32 + T * 3
     use_thr = p.grad_mode == 'topk' and p.max_faces_id < F
     GC = 9 + T * 3
 
@@ -669,6 +711,8 @@ def soft_rasterize_bwd_dir(face_vertices, textures, soft_colors,
         interpret=not _is_tpu(),
     )(prep['tab'], prep['bbox'], px_rows)
 
+    # grads accumulated at Morton-table positions -> original order
+    g_fm = jnp.take_along_axis(g_fm, prep['inv'][:, None, :], axis=2)
     g_fm = jnp.swapaxes(g_fm, 1, 2)[:, :F]                  # [B, F, GC]
     gf = g_fm[..., :9]
     gt = g_fm[..., 9:]

@@ -73,7 +73,8 @@ def _env_knobs():
     cache key instead."""
     return (os.environ.get('JR_PXT_TPI'), os.environ.get('JR_PXG_MT'),
             os.environ.get('JR_BIN_MT'), os.environ.get('JR_DYN_GRID', '1'),
-            os.environ.get('JR_DIR_MAX'), os.environ.get('JR_DIR_TILE'))
+            os.environ.get('JR_DIR_MAX'), os.environ.get('JR_DIR_TILE'),
+            os.environ.get('JR_DIR_SORT', '1'))
 
 
 def _knob_jit(static_argnums):

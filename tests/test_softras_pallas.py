@@ -726,3 +726,38 @@ class TestTopKTruncationDir(TestTopKTruncation):
 
     def test_api_topk_dispatch_non_tileable(self):
         pass  # covered by the base class (route logic is layout-global)
+
+    def test_morton_sort_invariance(self, rng):
+        """JR_DIR_SORT reorders the face table for chunk-cull locality;
+        results must be invariant (original ids ride the table, grads
+        are un-permuted) up to float re-association."""
+        import os
+        from jrender_tpu.ops.softras import dir_impl
+        F = 151
+        p = make_params(image_size=32, sigma_val=1e-3, gamma_val=1e-3,
+                        dist_func='hard', aggr_func_rgb='hard',
+                        aggr_func_alpha='hard',
+                        max_faces_per_pixel_for_grad=F)
+        fv = make_random_mesh(rng, num_faces=F).reshape(1, F, 9)
+        tex = rng.uniform(size=(1, F, 4, 3)).astype(np.float32)
+        g = rng.randn(1, 4, 32, 32).astype(np.float32)
+
+        def run():
+            out, ag, aux = dir_impl.soft_rasterize_fwd_dir(
+                jnp.asarray(fv), jnp.asarray(tex), p)
+            gf, gt = dir_impl.soft_rasterize_bwd_dir(
+                jnp.asarray(fv), jnp.asarray(tex), out, ag, aux,
+                jnp.asarray(g), p)
+            return map(np.asarray, (out, ag, gf, gt))
+
+        out1, ag1, gf1, gt1 = run()
+        os.environ['JR_DIR_SORT'] = '0'
+        try:
+            out0, ag0, gf0, gt0 = run()
+        finally:
+            del os.environ['JR_DIR_SORT']
+        np.testing.assert_allclose(out1, out0, atol=1e-6)
+        # hard winner ids must be IDENTICAL (original-id tie-break)
+        np.testing.assert_array_equal(ag1[:, 1], ag0[:, 1])
+        np.testing.assert_allclose(gf1, gf0, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(gt1, gt0, atol=1e-5, rtol=1e-5)
