@@ -184,6 +184,17 @@ def _lane_sum(x):
                                preferred_element_type=jnp.float32)
 
 
+def _lane_prod(x):
+    """[T2, FB] -> [T2, 1] lane product via a static halving tree (plain
+    slices + multiplies — no reliance on Mosaic lowering a MUL lane
+    reduction)."""
+    n = x.shape[1]
+    while n > 1:
+        n //= 2
+        x = x[:, :n] * x[:, n:2 * n]
+    return x
+
+
 def _make_fwd_kernel_dir(p: SoftRasParams, T: int, F: int, Fp: int,
                          with_thr: bool):
     is_ = p.image_size
@@ -264,7 +275,7 @@ def _make_fwd_kernel_dir(p: SoftRasParams, T: int, F: int, Fp: int,
             elif p.alpha_func_id == 1:
                 A = A + _lane_sum(sf_a)
             else:
-                A = A * jnp.prod(1.0 - sf_a, axis=1, keepdims=True)
+                A = A * _lane_prod(1.0 - sf_a)
 
             if p.rgb_func_id == 1:
                 rgb_valid = cand if p.fill_back else (cand & side_ok)

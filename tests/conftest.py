@@ -56,6 +56,9 @@ def make_random_mesh(rng, num_faces=24, scale=0.7, z_offset=2.5):
     return fv[None]  # [1, F, 3, 3]
 
 
+_TESTS_SINCE_CLEAR = [0]
+
+
 @pytest.fixture(autouse=True, scope='module')
 def _clear_jax_caches_per_module():
     """Free compiled executables between test modules.
@@ -69,3 +72,17 @@ def _clear_jax_caches_per_module():
     yield
     import jax
     jax.clear_caches()
+    _TESTS_SINCE_CLEAR[0] = 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_jax_cache_within_module():
+    """The round-5 suite put ~135 tests in test_softras_pallas alone, so
+    the executable accumulation that used to crash only across modules
+    now reproduces WITHIN one module.  Clear every 40 tests as well."""
+    yield
+    _TESTS_SINCE_CLEAR[0] += 1
+    if _TESTS_SINCE_CLEAR[0] >= 40:
+        _TESTS_SINCE_CLEAR[0] = 0
+        import jax
+        jax.clear_caches()
