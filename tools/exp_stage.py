@@ -130,6 +130,14 @@ def run(name):
             return o[0, 0, 0, 0] + a_[0, 0, 0, 0]
         emit('fwd_given_prep', timed(f_fwd, (fv,)))
 
+        # thr-off variant isolates the in-kernel top-K bisect cost
+        def f_fwd_nothr(x):
+            pr = dict(prep)
+            pr['face'] = pr['face'] * (1.0 + x[0, 0, 0] * 1e-40)
+            o, a_, au = pxt_impl.soft_rasterize_fwd_pxt(fv, tex, p, False, pr)
+            return o[0, 0, 0, 0] + a_[0, 0, 0, 0]
+        emit('fwd_given_prep_nothr', timed(f_fwd_nothr, (fv,)))
+
         def f_bwd(g_):
             gf, gt = pxt_impl.soft_rasterize_bwd_pxt(
                 fv, tex, out, ag, aux, g_, p, prep)
