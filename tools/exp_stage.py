@@ -94,9 +94,14 @@ def run(name):
     route = api._pallas_route(p, F)
     g = jax.random.normal(jax.random.PRNGKey(1), (1, 4, is_, is_))
 
+    only = [s for s in os.environ.get('JR_STAGE_ONLY', '').split(',') if s]
+
     def emit(stage, ms):
         print(json.dumps({'mesh': name, 'faces': F, 'route': route,
                           'stage': stage, 'ms': round(ms, 3)}), flush=True)
+
+    def want(stage):
+        return not only or stage in only
 
     if route == 'pxt':
         from jrender_tpu.ops.softras import pxt_impl
@@ -108,13 +113,15 @@ def run(name):
                                              _mt_pxg(F))
             return (lists.counts.sum().astype(jnp.float32)
                     + lists.faces_sorted[0, 0].astype(jnp.float32))
-        emit('binning', timed(f_bin, (fv,)))
+        if want('binning'):
+            emit('binning', timed(f_bin, (fv,)))
 
         def f_prep(x):
             pr = pxt_impl.prep_pxt(x, tex, p)
             return (pr['face'][0, 0, 0] + pr['lim'][0].astype(jnp.float32)
                     + pr['ids'][0, 0, 0].astype(jnp.float32))
-        emit('prep', timed(f_prep, (fv,)))
+        if want('prep'):
+            emit('prep', timed(f_prep, (fv,)))
 
         prep = pxt_impl.prep_pxt(fv, tex, p)
         out, ag, aux = pxt_impl.soft_rasterize_fwd_pxt(fv, tex, p, True,
@@ -128,7 +135,8 @@ def run(name):
             pr['face'] = pr['face'] * (1.0 + x[0, 0, 0] * 1e-40)
             o, a_, au = pxt_impl.soft_rasterize_fwd_pxt(fv, tex, p, True, pr)
             return o[0, 0, 0, 0] + a_[0, 0, 0, 0]
-        emit('fwd_given_prep', timed(f_fwd, (fv,)))
+        if want('fwd_given_prep'):
+            emit('fwd_given_prep', timed(f_fwd, (fv,)))
 
         # thr-off variant isolates the in-kernel top-K bisect cost
         def f_fwd_nothr(x):
@@ -136,13 +144,23 @@ def run(name):
             pr['face'] = pr['face'] * (1.0 + x[0, 0, 0] * 1e-40)
             o, a_, au = pxt_impl.soft_rasterize_fwd_pxt(fv, tex, p, False, pr)
             return o[0, 0, 0, 0] + a_[0, 0, 0, 0]
-        emit('fwd_given_prep_nothr', timed(f_fwd_nothr, (fv,)))
+        if want('fwd_given_prep_nothr'):
+            emit('fwd_given_prep_nothr', timed(f_fwd_nothr, (fv,)))
 
-        def f_bwd(g_):
+        # pass every array as an argument: closed-over arrays embed as
+        # HLO constants and the axon remote_compile request body blows
+        # its length limit (observed HTTP 413 on the large mesh's aux)
+        import jax.tree_util as jtu
+        leaves, tree = jtu.tree_flatten((g, fv, tex, out, ag, aux, prep))
+
+        def f_bwd(*ls):
+            g_, fv_, tex_, out_, ag_, aux_, prep_ = jtu.tree_unflatten(
+                tree, ls)
             gf, gt = pxt_impl.soft_rasterize_bwd_pxt(
-                fv, tex, out, ag, aux, g_, p, prep)
+                fv_, tex_, out_, ag_, aux_, g_, p, prep_)
             return gf[0, 0, 0] + gt[0, 0, 0, 0]
-        emit('bwd_given_prep', timed(f_bwd, (g,)))
+        if want('bwd_given_prep'):
+            emit('bwd_given_prep', timed(f_bwd, tuple(leaves)))
     elif route == 'dir':
         from jrender_tpu.ops.softras import dir_impl
 
@@ -177,7 +195,8 @@ def run(name):
     def f_e2e(x):
         gf, gt = grad_fn(x, tex)
         return gf[0, 0, 0] + gt[0, 0, 0, 0]
-    emit('e2e_grad', timed(f_e2e, (fv,)))
+    if want('e2e_grad'):
+        emit('e2e_grad', timed(f_e2e, (fv,)))
 
 
 if __name__ == '__main__':
