@@ -102,6 +102,12 @@ class CompactLists(NamedTuple):
     gdrop: jnp.ndarray          # [B] i32 big faces DROPPED past the glist cap
     gt_cum: jnp.ndarray         # [B, NT, GBIG] i32 cumulative (over g) count
     #                             of glist faces overlapping each tile
+    keys_sorted: jnp.ndarray | None = None
+    #   [B, F*MT] i32 the sorted fused keys (tile * stride + face) when
+    #   the single-key sort path ran, else None.  Keys are UNIQUE per
+    #   (tile, face), so a pair's sorted position is one searchsorted —
+    #   prep_pxt uses this to build the gather-based gradient reduction
+    #   (the scatter-free inverse of the emission permutation).
 
 
 CL_MT = 16     # bands/tiles a face may span before it goes global
@@ -143,14 +149,13 @@ def _tile_ranges(face, image_size, tile_h, tile_w, threshold):
     return ty_min, ty_max, tx_min, tx_max, empty, TY, TX
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
-def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
-                             tile_w: int, threshold: float,
-                             mt: int = CL_MT) -> CompactLists:
-    """Scatter-free binning: emit <= mt (tile, face) pairs per face, sort
-    by tile, keep the sorted run + per-tile offsets.  Faces spanning more
-    than mt tiles are prepended to EVERY tile via glist (bounded CL_GBIG;
-    the kernel's border check no-ops them where they don't overlap)."""
+def emit_pairs(face, image_size: int, tile_h: int, tile_w: int,
+               threshold: float, mt: int):
+    """The (tile, face) pair emission shared by build_tile_lists_compact
+    and prep_pxt's gather-map construction: each face emits <= mt pairs
+    (row-major over its clipped tile range); faces spanning more than mt
+    tiles are 'big' (glist).  Returns (pair_tile [B,F,mt] with invalid ->
+    n_tiles, pair_ok [B,F,mt], big [B,F], stride, fused)."""
     B, F, _ = face.shape
     ty_min, ty_max, tx_min, tx_max, empty, TY, TX = _tile_ranges(
         face, image_size, tile_h, tile_w, threshold)
@@ -167,8 +172,6 @@ def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
     pair_ok = (j[None, None, :] < jnp.minimum(ntl, mt)[..., None]) & \
         (~empty)[..., None] & (~big)[..., None]
     pair_tile = jnp.where(pair_ok, pair_tile, n_tiles)
-    pair_face = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :, None],
-                                 pair_tile.shape)
 
     # single fused sort key: tile * stride + face keeps faces ascending
     # within each tile and sorts ONE int32 array instead of a two-operand
@@ -176,6 +179,25 @@ def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
     # when (n_tiles+1) * stride would overflow int32
     stride = 1 << (F + 1).bit_length()
     fused = (n_tiles + 1) * stride < 2 ** 31
+    return pair_tile, pair_ok, big, stride, fused
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
+def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
+                             tile_w: int, threshold: float,
+                             mt: int = CL_MT) -> CompactLists:
+    """Scatter-free binning: emit <= mt (tile, face) pairs per face, sort
+    by tile, keep the sorted run + per-tile offsets.  Faces spanning more
+    than mt tiles are prepended to EVERY tile via glist (bounded CL_GBIG;
+    the kernel's border check no-ops them where they don't overlap)."""
+    B, F, _ = face.shape
+    ty_min, ty_max, tx_min, tx_max, empty, TY, TX = _tile_ranges(
+        face, image_size, tile_h, tile_w, threshold)
+    n_tiles = TY * TX
+    pair_tile, pair_ok, big, stride, fused = emit_pairs(
+        face, image_size, tile_h, tile_w, threshold, mt)
+    pair_face = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :, None],
+                                 pair_tile.shape)
 
     def one(tiles_b, faces_b, big_b):
         gpos = jnp.cumsum(big_b.astype(jnp.int32)) - 1
@@ -190,6 +212,7 @@ def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
             tiles_s = key_s // stride
             faces_s = key_s - tiles_s * stride
         else:
+            key_s = None
             tiles_s, faces_s = jax.lax.sort(
                 (tiles_b.reshape(-1), faces_b.reshape(-1)), num_keys=1,
                 is_stable=True)
@@ -200,9 +223,9 @@ def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
             tiles_s, jnp.arange(1, n_tiles + 1, dtype=jnp.int32),
             side='left').astype(jnp.int32)
         return (faces_s, starts, ends - starts, glist, gcount,
-                gtrue - gcount)
+                gtrue - gcount, key_s if fused else tiles_s)
 
-    fs, st, run_cn, gl, gc, gd = jax.vmap(one)(pair_tile, pair_face, big)
+    fs, st, run_cn, gl, gc, gd, ks = jax.vmap(one)(pair_tile, pair_face, big)
 
     # exact per-tile distribution of the glist: overlap each big face's
     # inflated-bbox tile range against the tile grid (cheap: GBIG x NT
@@ -227,7 +250,8 @@ def build_tile_lists_compact(face: jnp.ndarray, image_size: int, tile_h: int,
     counts = run_cn + gt_cum[:, -1, :]
     return CompactLists(faces_sorted=fs, starts=st,
                         counts=counts, glist=gl, gcount=gc, gdrop=gd,
-                        gt_cum=jnp.swapaxes(gt_cum, 1, 2))
+                        gt_cum=jnp.swapaxes(gt_cum, 1, 2),
+                        keys_sorted=ks if fused else None)
 
 
 def gather_work_ids(cl: CompactLists, tile, chunk, fb: int, cap: int):

@@ -62,9 +62,13 @@ BWD_PC = 11       # out r/g/b/a | softmax sum/max | grad r/g/b/a | thr
 
 
 def dir_max_faces() -> int:
-    """Largest F routed to the direct layout (chunk culling is 128-face
-    granular, so past ~1-2k faces per-tile lists win again)."""
-    return int(os.environ.get('JR_DIR_MAX', '1024'))
+    """Largest F routed to the direct layout.  Default 0 (disabled): on
+    real v5e the (B, n_tiles) grid serializes on the revisited gradient
+    block and the layout measures 25.8 ms on the 288-face 1024² bench
+    row vs 10.8 through pxt, flat across JR_DIR_TILE 16/32 and caps
+    (docs/STAGE_BREAKDOWN_r5.jsonl + the exp_dir_tune sweep).  Kept
+    behind JR_DIR_MAX for study; the parity suite drives it directly."""
+    return int(os.environ.get('JR_DIR_MAX', '0'))
 
 
 def _dir_tile(image_size: int) -> int:

@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import geometry as G
 from .binning import (CL_GBIG, _tile_ranges, build_tile_lists_compact,
-                      gather_work_ids, report_overflow)
+                      emit_pairs, gather_work_ids, report_overflow)
 from .params import SoftRasParams
 from .pallas_impl import (BIG_DEPTH, SENTINEL, _is_tpu, _pair_colors,
                           _pair_terms_kernel, _surface_tex_idx)
@@ -281,6 +281,48 @@ def prep_pxt(face_vertices, textures, p: SoftRasParams, ty0=None,
     thr_l1 = jnp.zeros((w_cap * TPI,), jnp.int32).at[end_key].set(
         (s_j + ng_p) * G8, mode='drop')
 
+    # ---- scatter-free gradient reduction map --------------------------
+    # The backward's deterministic atomicAdd replacement used to be ONE
+    # segment_sum over all [W*FB] slot rows -- an XLA scatter measured at
+    # 7.2 ms/frame on the 39k bench mesh (docs/STAGE_BREAKDOWN_r5.jsonl).
+    # But the emission keys (tile * stride + face) are UNIQUE, so each
+    # face's <= mt sorted-run rows are locatable by searchsorted into the
+    # sorted key array, and the work-list packing (s_j / item_offs) turns
+    # (tile, list position) into (item, lane): the scatter becomes a
+    # [B, F, mt] gather + sum.  Big (glist) faces are handled in the
+    # backward by one bounded 0/1 MXU dot over the glist-prefix lanes.
+    mt = _mt_pxg(F)
+    if lists.keys_sorted is not None:
+        pair_tile, pair_okq, _bigq, stride, _f = emit_pairs(
+            face, is_, t, t, p.threshold, mt)
+        fidr = jnp.arange(F, dtype=jnp.int32)[None, :, None]
+        keyq = pair_tile * stride + fidr                       # [B, F, mt]
+        pos = jax.vmap(jnp.searchsorted)(
+            lists.keys_sorted, keyq.reshape(B, F * mt))
+        pos = pos.astype(jnp.int32).reshape(B, F, mt)
+        barange_b = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        flat_t = barange_b * NT + jnp.minimum(pair_tile, NT - 1)
+        gt_last = lists.gt_cum[:, :, -1].reshape(BNT)
+        q_pos = gt_last[flat_t] + (pos - lists.starts.reshape(BNT)[flat_t])
+        jj = prank[flat_t]                                     # NCC if uncovered
+        jj_s = jnp.minimum(jj, NCC - 1)
+        okq = pair_okq & (q_pos < c[flat_t]) & (jj < NCC) \
+            & (item_offs[jj_s // TPI] < lim[0])
+        slot = s_j[jj_s] + q_pos // G8
+        okq &= slot < lim[0] * GPI                 # rows past the clamped
+        w_i = slot // GPI                          # grid are uninitialized
+        lane = (slot % GPI) * G8 + (q_pos % G8)
+        gsrc = jnp.where(okq, w_i * FB + lane, -1).reshape(B, F * mt)
+        # glist-prefix lanes (list position < the tile's glist count)
+        gt_s = gt_last[raw_s]                                  # [Wg]
+        sub8 = jnp.arange(G8, dtype=jnp.int32)[None, :]
+        gl_lane = ((chunk_g[:, None] * G8 + sub8) < gt_s[:, None]) \
+            & valid_slot[:, None]
+        gmask = gl_lane.reshape(w_cap, FB)
+    else:
+        gsrc = None
+        gmask = None
+
     report_overflow(counts, cap, W_true, w_cap,
                     where=f'softras pxt {is_}px')
     report_overflow(lists.gdrop[:, None], 0,
@@ -289,7 +331,9 @@ def prep_pxt(face_vertices, textures, p: SoftRasParams, ty0=None,
         ids=ids_lane[:, None, :].astype(jnp.int32), face=g_face, inv=g_inv,
         sym=g_sym, obt=g_obt, front=g_front, tex=g_tex, xy=xy, lt=lt_lane,
         blk=blk, first=first, thr_nr=thr_nr, thr_l0=thr_l0, thr_l1=thr_l1,
-        rawj=rawj, bslot=b_of, counts=counts, lim=lim)
+        rawj=rawj, bslot=b_of, counts=counts, lim=lim,
+        gsrc=gsrc, gmask=gmask, glist=lists.glist,
+        gtot=lists.gcount.sum().reshape(1))
 
 
 # ---------------------------------------------------------------------------
@@ -1081,18 +1125,50 @@ def soft_rasterize_bwd_pxt(face_vertices, textures, soft_colors,
       prep['ids'], prep['face'], prep['inv'], prep['sym'], prep['obt'],
       prep['front'], prep['tex'], prep['xy'], prep['lt'], px_hbm)
 
-    # deterministic atomicAdd replacement (soft_rasterize.py:1349-1358):
-    # ONE fused segment-sum over the per-lane slot rows.  The kernel
-    # already emitted [FB, GC] rows (in-kernel transpose), so no XLA
-    # relayout precedes the scatter; padding lanes carry segment
-    # B*F == num_segments (OOB, dropped without a serializing dump row).
+    # deterministic atomicAdd replacement (soft_rasterize.py:1349-1358).
+    # Default path: gather-based -- each face SUMS its own <= mt slot
+    # rows through prep['gsrc'] (the inverse of the binning emission,
+    # see prep_pxt), so no scatter touches the [W*FB, GC] rows (the old
+    # single segment_sum was a 7.2 ms/frame XLA scatter on the 39k bench
+    # mesh).  Big (glist) faces' rows sit in the glist-prefix lanes of
+    # every tile they overlap: one bounded exact 0/1 MXU dot reduces
+    # them, executed only when a face actually went global (lax.cond).
     ids_w = prep['ids'][:, 0, :]                              # [W, FB]
     b_lane = jnp.repeat(prep['bslot'].reshape(w_cap, GPI), G8, axis=1)
     segf = jnp.where(ids_w >= 0, b_lane * F + ids_w, B * F)
-    act = (ids_w >= 0)[..., None]
-    rows = jnp.where(act, gslots, 0.0)
-    g_fm = jax.ops.segment_sum(rows.reshape(-1, GC), segf.reshape(-1),
-                               num_segments=B * F).reshape(B, F, GC)
+    gsrc = prep.get('gsrc')
+    if gsrc is not None:
+        mt = _mt_pxg(F)
+        rows_flat = gslots.reshape(w_cap * FB, GC)
+        take = jnp.clip(gsrc, 0, w_cap * FB - 1)
+        got = jnp.where((gsrc >= 0)[..., None], rows_flat[take], 0.0)
+        g_fm = got.reshape(B, F, mt, GC).sum(axis=2)
+        glist = prep['glist']                                 # [B, GBIG]
+        targets = jnp.where(
+            glist >= 0,
+            jnp.arange(B, dtype=jnp.int32)[:, None] * F
+            + jnp.maximum(glist, 0), B * F).reshape(-1)
+
+        def _gl(_):
+            sel = prep['gmask'] & (ids_w >= 0)
+            rowsg = jnp.where(sel[..., None], gslots, 0.0).reshape(-1, GC)
+            onehot = (segf.reshape(-1)[:, None] == targets[None, :]
+                      ).astype(jnp.float32)
+            return jax.lax.dot_general(
+                onehot, rowsg, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+
+        gl_sum = jax.lax.cond(
+            prep['gtot'][0] > 0, _gl,
+            lambda _: jnp.zeros((targets.shape[0], GC), jnp.float32), 0)
+        g_fm = g_fm.reshape(B * F, GC).at[targets].add(
+            gl_sum, mode='drop').reshape(B, F, GC)
+    else:
+        # non-fused-key fallback (huge F x tile products): the scatter
+        act = (ids_w >= 0)[..., None]
+        rows = jnp.where(act, gslots, 0.0)
+        g_fm = jax.ops.segment_sum(rows.reshape(-1, GC), segf.reshape(-1),
+                                   num_segments=B * F).reshape(B, F, GC)
     gf = g_fm[..., :9]
     gt = g_fm[..., 9:]
     return (gf.reshape(face_vertices.shape), gt.reshape(textures.shape))

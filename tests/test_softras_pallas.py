@@ -360,6 +360,7 @@ class TestTopKTruncation:
 
     def test_api_topk_dispatch_non_tileable(self):
         """Non-tileable sizes route a binding topk to the oracle."""
+        import os
         from jrender_tpu.ops.softras import api
         F, K = 12, 4
         p = make_params(image_size=20, max_faces_per_pixel_for_grad=K)
@@ -368,11 +369,15 @@ class TestTopKTruncation:
                              grad_mode='full')
         assert api._pallas_route(p_full, F) == 'f_px'
         p_ok = make_params(image_size=32, max_faces_per_pixel_for_grad=K)
-        # small meshes ride the binning-free direct layout; above the
-        # dir cap the tiled pxt work-list layout takes over
-        assert api._pallas_route(p_ok, F) == 'dir'
-        from jrender_tpu.ops.softras import dir_impl
-        assert api._pallas_route(p_ok, dir_impl.dir_max_faces() + 1) == 'pxt'
+        # dir is disabled by default (slower than pxt on real v5e —
+        # see dir_impl.dir_max_faces); JR_DIR_MAX opts small meshes in
+        assert api._pallas_route(p_ok, F) == 'pxt'
+        os.environ['JR_DIR_MAX'] = '64'
+        try:
+            assert api._pallas_route(p_ok, F) == 'dir'
+            assert api._pallas_route(p_ok, 65) == 'pxt'
+        finally:
+            del os.environ['JR_DIR_MAX']
 
 
 def test_custom_vjp_pallas_backend(rng):
